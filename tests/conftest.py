@@ -1,0 +1,21 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Multi-device tests use the standard JAX trick of
+``--xla_force_host_platform_device_count`` so pjit/shard_map semantics are
+exercised without TPU hardware (SURVEY.md §4).
+
+Note: the environment's sitecustomize imports jax and pins
+``JAX_PLATFORMS=axon`` before pytest starts, so the platform must be forced
+back to CPU via ``jax.config`` (the env var alone is latched too early).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
