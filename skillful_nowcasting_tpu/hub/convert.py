@@ -36,9 +36,25 @@ def _to_numpy(t) -> np.ndarray:
         return np.array(t)
 
 
+def _fold_list_indices(path: Tuple[str, ...]) -> Tuple[str, ...]:
+    """Fold torch ModuleList indices into the parent name.
+
+    Torch key ``intermediate_dblocks.0.conv_1x1`` becomes our module name
+    ``intermediate_dblocks.0`` (a single dotted Flax name), so the path
+    component ``"0"`` is re-joined to its predecessor.
+    """
+    out = []
+    for p in path:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}.{p}"
+        else:
+            out.append(p)
+    return tuple(out)
+
+
 def _set(tree: Dict[str, Any], path: Tuple[str, ...], leaf_name: str, value) -> None:
     node = tree
-    for p in path:
+    for p in _fold_list_indices(path):
         node = node.setdefault(p, {})
     node[leaf_name] = value
 

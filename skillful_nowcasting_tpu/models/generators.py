@@ -1,0 +1,115 @@
+"""Generator: ConvGRU sampler pyramid + composition wrapper.
+
+Reference: ``/root/reference/dgmr/generators.py`` (behavioral spec).  The
+reference unrolls each of the 4 ConvGRU levels with Python lists and applies
+the per-timestep conv pyramid in list comprehensions
+(``generators.py:149-178``).  Here each level is:
+
+* one ``lax.scan`` ConvGRU (hidden-part convs sequential, input-part convs
+  batched over all T on the MXU — see ``layers/convgru.py``), then
+* the 1x1 conv / GBlock / UpsampleGBlock applied to all T timesteps at once
+  (T folded into the conv batch), with ``sequential=True`` preserving the
+  reference's per-timestep train-mode BN/SN statistics.
+
+The bottom level's input is the *same* latent tensor at every step
+(``generators.py:149``), so it uses the ConvGRU static-input fast path: the
+latent's gate contributions are computed once, not 18 times.
+
+Layout: conditioning states and latent are NHWC; output is
+``(B, T, H, W, C)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..layers.convgru import ConvGRU
+from ..ops import Conv, TorchBatchNorm, depth_to_space
+from .common import GBlock, UpsampleGBlock
+
+
+class Sampler(nn.Module):
+    """Recurrent decoder from conditioning states + latent (``generators.py:20-182``)."""
+
+    forecast_steps: int = 18
+    latent_channels: int = 768
+    context_channels: int = 384
+    output_channels: int = 1
+
+    @nn.compact
+    def __call__(
+        self,
+        conditioning_states: Sequence[jnp.ndarray],
+        latent_dim: jnp.ndarray,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        lc, cc = self.latent_channels, self.context_channels
+        init_states = conditioning_states
+        batch = init_states[0].shape[0]
+
+        # Quirk Q2: latent has batch 1; repeat across the real batch
+        # (reference ``generators.py:146-148``).
+        latent_dim = jnp.tile(latent_dim, (batch // latent_dim.shape[0], 1, 1, 1))
+
+        def level(h_seq, init_state, gru_name, conv_name, g_name, up_name, level_idx):
+            div = 2 ** level_idx
+            gru = ConvGRU(
+                input_channels=lc // div + cc // div,
+                output_channels=cc // div,
+                kernel_size=3,
+                name=gru_name,
+            )
+            if level_idx == 0:
+                out = gru(
+                    h_seq,
+                    init_state,
+                    n_steps=self.forecast_steps,
+                    update_stats=train,
+                    x_static=True,
+                )
+            else:
+                out = gru(h_seq, init_state, update_stats=train)
+            out = Conv(lc // div, kernel_size=1, spectral_norm=True, name=conv_name)(
+                out, update_stats=train, sequential=True
+            )
+            out = GBlock(lc // div, lc // div, name=g_name)(
+                out, train=train, sequential=True
+            )
+            out = UpsampleGBlock(lc // div, lc // (div * 2), name=up_name)(
+                out, train=train, sequential=True
+            )
+            return out
+
+        # Level order: smallest scale first (quirk Q6) — conditioning state 4
+        # feeds the first GRU (``generators.py:152``).
+        h = level(latent_dim, init_states[3], "convGRU1", "gru_conv_1x1", "g1", "up_g1", 0)
+        h = level(h, init_states[2], "convGRU2", "gru_conv_1x1_2", "g2", "up_g2", 1)
+        h = level(h, init_states[1], "convGRU3", "gru_conv_1x1_3", "g3", "up_g3", 2)
+        h = level(h, init_states[0], "convGRU4", "gru_conv_1x1_4", "g4", "up_g4", 3)
+
+        # Output head, per timestep (``generators.py:176-178``).
+        h = TorchBatchNorm(name="bn")(h, train=train, sequential=True)
+        h = jax.nn.relu(h)
+        h = Conv(4 * self.output_channels, kernel_size=1, spectral_norm=True, name="conv_1x1")(
+            h, update_stats=train, sequential=True
+        )
+        h = depth_to_space(h, 2)  # (T, B, H, W, C)
+        return jnp.swapaxes(h, 0, 1)  # (B, T, H, W, C)
+
+
+class Generator(nn.Module):
+    """``sampler(conditioning_stack(x), latent_stack(x))`` (``generators.py:185-212``)."""
+
+    conditioning_stack: nn.Module
+    latent_stack: nn.Module
+    sampler: nn.Module
+
+    def __call__(self, x: jnp.ndarray, *, train: bool = False, z=None) -> jnp.ndarray:
+        conditioning_states = self.conditioning_stack(x, train=train)
+        latent_dim = self.latent_stack(x, z=z, train=train)
+        return self.sampler(conditioning_states, latent_dim, train=train)
