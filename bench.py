@@ -1,0 +1,142 @@
+"""Driver benchmark: nowcast frames/sec/chip on the 18-step 256-square ensemble.
+
+Prints ONE JSON line to stdout:
+``{"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}``.
+
+Protocol (BASELINE.md): the reference publishes no numbers, so the baseline
+is the torch reference itself (``/root/reference``) running the same
+paper-config inference on CPU, measured once here and cached in
+``.bench_ref.json``.  ``vs_baseline`` is ours / reference (higher is
+better; north star >= 5x).
+
+Knobs: ``BENCH_BATCH`` (default 4), ``BENCH_ITERS`` (default 8),
+``BENCH_SKIP_REF=1`` to skip the torch baseline measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+REF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_ref.json")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_ours(batch: int, iters: int, dtype_name: str = "float32") -> float:
+    """Device throughput via a scanned chain of ``iters`` forwards.
+
+    All ``iters`` forwards run inside ONE jitted program whose (tiny) output
+    is fetched to the host — this forces full synchronization.  Per-call
+    ``block_until_ready`` is NOT trustworthy on remote-tunnel backends (it
+    returns before execution completes), which silently under-reports time.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from skillful_nowcasting_tpu import DGMR
+    from skillful_nowcasting_tpu.hub.pretrained import abstract_variables
+    from skillful_nowcasting_tpu.utils import random_fill_variables
+
+    log(f"devices: {jax.devices()}")
+    model = DGMR()  # paper config: 18-step, 256, latent 768, context 384
+    variables = random_fill_variables(abstract_variables(model), jax.random.key(0))
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def forward_chain(variables, x, key):
+        def body(_, k):
+            out = model.apply(variables, x, train=False, rngs={"latent": k})
+            return None, jnp.mean(out.astype(jnp.float32))  # forces everything
+
+        _, probes = jax.lax.scan(body, None, jax.random.split(key, iters))
+        return probes
+
+    x = jax.random.uniform(jax.random.key(7), (batch, 4, 256, 256, 1), dtype)
+    t0 = time.time()
+    np.asarray(forward_chain(variables, x, jax.random.key(1)))
+    log(f"[{dtype_name}] compile+first chain ({iters} fwd): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    np.asarray(forward_chain(variables, x, jax.random.key(2)))
+    dt = (time.time() - t0) / iters
+    fps = batch * model.forecast_steps / dt
+    log(f"[{dtype_name}] ours: {dt*1000:.1f} ms/forward (B={batch}) -> {fps:.2f} frames/sec/chip")
+    return fps
+
+
+def measure_reference() -> float:
+    """Torch reference (CPU) paper-config inference throughput, cached."""
+    if os.path.exists(REF_CACHE):
+        with open(REF_CACHE) as f:
+            cached = json.load(f)
+        log(f"reference (cached): {cached['frames_per_sec']:.3f} frames/sec")
+        return cached["frames_per_sec"]
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from ref_loader import load_reference
+
+    import torch
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    model = ref.DGMR()
+    model.eval()
+    x = torch.rand((1, 4, 1, 256, 256))
+    with torch.no_grad():
+        t0 = time.time()
+        model(x)  # warmup
+        warm = time.time() - t0
+        t0 = time.time()
+        out = model(x)
+        dt = time.time() - t0
+    fps = out.shape[1] / dt
+    log(f"reference torch-CPU: warmup {warm:.1f}s, {dt:.1f} s/forward -> {fps:.3f} frames/sec")
+    with open(REF_CACHE, "w") as f:
+        json.dump({"frames_per_sec": fps, "seconds_per_forward": dt}, f)
+    return fps
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+
+    ours = measure_ours(batch, iters, "float32")
+    if os.environ.get("BENCH_BF16", "1") != "0":
+        try:
+            measure_ours(batch, iters, "bfloat16")  # logged to stderr
+        except Exception as e:  # noqa: BLE001
+            log(f"bf16 measurement failed: {type(e).__name__}: {e}")
+
+    vs = None
+    if os.environ.get("BENCH_SKIP_REF") != "1":
+        try:
+            ref_fps = measure_reference()
+            vs = ours / ref_fps if ref_fps > 0 else None
+        except Exception as e:  # noqa: BLE001
+            log(f"reference measurement failed: {type(e).__name__}: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "nowcast frames/sec/chip (18-step 256^2 ensemble)",
+                "value": round(ours, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""skillful_nowcasting_tpu: TPU-native DGMR (Skillful Precipitation Nowcasting).
+
+A ground-up JAX/Flax/Pallas re-implementation of the capabilities of
+``openclimatefix/skillful_nowcasting`` (reference mounted read-only at
+``/root/reference``), designed TPU-first: NHWC layouts, ``lax.scan``
+recurrences, a single jitted GAN train step, ``jax.sharding`` data
+parallelism, and Orbax/hub checkpointing.
+
+Public API parity with ``/root/reference/dgmr/__init__.py:3-6``.
+"""
+
+from .dgmr import DGMR
+from .models.common import ContextConditioningStack, LatentConditioningStack
+from .models.discriminators import (
+    Discriminator,
+    SpatialDiscriminator,
+    TemporalDiscriminator,
+)
+from .models.generators import Generator, Sampler
+
+__all__ = [
+    "DGMR",
+    "ContextConditioningStack",
+    "Discriminator",
+    "Generator",
+    "LatentConditioningStack",
+    "Sampler",
+    "SpatialDiscriminator",
+    "TemporalDiscriminator",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,21 @@
+"""Data pipeline: window extraction, nimrod streaming, prefetch, synthetic."""
+
+from .nimrod import DGMRDataModule, NimrodStream, batch_windows
+from .prefetch import prefetch_to_device
+from .synthetic import synthetic_batches
+from .windows import (
+    NUM_INPUT_FRAMES,
+    NUM_TARGET_FRAMES,
+    extract_input_and_target_frames,
+)
+
+__all__ = [
+    "DGMRDataModule",
+    "NUM_INPUT_FRAMES",
+    "NUM_TARGET_FRAMES",
+    "NimrodStream",
+    "batch_windows",
+    "extract_input_and_target_frames",
+    "prefetch_to_device",
+    "synthetic_batches",
+]

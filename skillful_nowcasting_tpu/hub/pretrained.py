@@ -1,0 +1,328 @@
+"""``from_pretrained`` / ``save_pretrained``: the hub weight contract.
+
+Reference capability: every public model class mixes in
+``huggingface_hub.PyTorchModelHubMixin`` (``/root/reference/dgmr/dgmr.py:36-42``,
+``common.py:303,427``, ``generators.py:20,185``, ``discriminators.py:12,47,141``)
+giving per-component (config, weights) round-trip and loading of the published
+``openclimatefix/dgmr*`` checkpoints (``README.md:57-69``).
+
+Here the same contract is provided for Flax modules:
+
+* native format: ``config.json`` + ``flax_model.msgpack``
+  (:mod:`.serialization`);
+* torch import: ``pytorch_model.bin`` / ``model.safetensors`` converted via
+  :mod:`.convert` (spectral-norm parametrization keys, NCHW→HWIO, quirk Q10);
+* remote repos: resolved with ``huggingface_hub.snapshot_download`` when
+  network access exists, with a clear error offline.
+
+Because Flax modules are stateless, ``from_pretrained`` returns a
+:class:`BoundModel` — module + variables + config in one callable object.
+Parameter *structures* are built with ``jax.eval_shape`` (zero FLOPs) and
+every leaf must be supplied by the checkpoint, so conversion gaps fail
+loudly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import convert_torch_state_dict
+from .serialization import (
+    CONFIG_NAME,
+    FLAX_WEIGHTS_NAME,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+TORCH_WEIGHTS_NAME = "pytorch_model.bin"
+SAFETENSORS_NAME = "model.safetensors"
+
+
+# ---------------------------------------------------------------------------
+# Abstract init: parameter structure without compute
+# ---------------------------------------------------------------------------
+
+# Init-input spatial sizes are the smallest each tower supports; parameter
+# shapes depend only on channel counts, so these are safe for any config.
+_INIT_SPATIAL_STACKS = 64
+_INIT_SPATIAL_DISC = 128
+_INIT_T_DISC = 8
+
+
+def _rngs():
+    k = jax.random.key(0)
+    return {"params": k, "latent": k, "frames": k}
+
+
+def _abstract_init(module, *args, method: Optional[Callable] = None):
+    def run(rngs, *a):
+        return module.init(rngs, *a, method=method)
+
+    shapes = [
+        jax.ShapeDtypeStruct(a.shape, a.dtype) if hasattr(a, "shape") else a for a in args
+    ]
+    return jax.eval_shape(run, _rngs(), *shapes)
+
+
+def _abstract_variables(module) -> Mapping[str, Any]:
+    """Build the abstract variable tree for any registered model class."""
+    name = type(module).__name__
+    f32 = jnp.float32
+
+    def arr(*shape):
+        return jax.ShapeDtypeStruct(shape, f32)
+
+    if name == "DGMR":
+        s, ic, fs = module.output_shape, module.input_channels, module.forecast_steps
+        return _abstract_init(
+            module,
+            arr(1, 4, s, s, ic),
+            arr(1, fs, s, s, ic),
+            method=type(module).init_step,
+        )
+    if name == "Sampler":
+        cc, lc = module.context_channels, module.latent_channels
+        s = _INIT_SPATIAL_STACKS
+        states = tuple(
+            arr(1, s // (4 * 2**i), s // (4 * 2**i), cc // (8 // 2**i)) for i in range(4)
+        )
+        latent = arr(1, s // 32, s // 32, lc)
+        return _abstract_init(module, states, latent)
+    if name == "ContextConditioningStack":
+        s = _INIT_SPATIAL_STACKS
+        return _abstract_init(
+            module, arr(1, module.num_context_steps, s, s, module.input_channels)
+        )
+    if name == "LatentConditioningStack":
+        return _abstract_init(module)
+    if name in ("Discriminator", "SpatialDiscriminator", "TemporalDiscriminator"):
+        s, t = _INIT_SPATIAL_DISC, _INIT_T_DISC
+        return _abstract_init(module, arr(1, t, s, s, module.input_channels))
+    if name == "Generator":
+        raise ValueError(
+            "Generator is composed from pretrained components; use "
+            "compose_generator(conditioning_stack, latent_stack, sampler)"
+        )
+    raise ValueError(f"no abstract-init recipe for {name}")
+
+
+def abstract_variables(module) -> Mapping[str, Any]:
+    """Public alias: abstract (shape-only) variable tree for a model module."""
+    return _abstract_variables(module)
+
+
+def _fill(abstract: Any, values: Any, path: str = "") -> Any:
+    """Zip a checkpoint tree onto an abstract structure, checking every leaf."""
+    if isinstance(abstract, Mapping):
+        if not isinstance(values, Mapping):
+            raise ValueError(f"{path}: expected mapping, got {type(values).__name__}")
+        missing = set(abstract) - set(values)
+        extra = set(values) - set(abstract)
+        if missing or extra:
+            raise ValueError(
+                f"{path}: structure mismatch (missing={sorted(missing)}, extra={sorted(extra)})"
+            )
+        return {k: _fill(abstract[k], values[k], f"{path}/{k}") for k in abstract}
+    if isinstance(abstract, tuple):  # spectral uv
+        if len(values) != len(abstract):
+            raise ValueError(f"{path}: tuple arity mismatch")
+        return tuple(
+            _fill(a, v, f"{path}[{i}]") for i, (a, v) in enumerate(zip(abstract, values))
+        )
+    value = jnp.asarray(values)
+    if tuple(value.shape) != tuple(abstract.shape):
+        raise ValueError(f"{path}: shape {value.shape} != expected {abstract.shape}")
+    return value.astype(abstract.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Directory / repo resolution and weight file loading
+# ---------------------------------------------------------------------------
+
+
+def _resolve_dir(pretrained: str) -> str:
+    if os.path.isdir(pretrained):
+        return pretrained
+    try:
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(repo_id=pretrained)
+    except Exception as e:  # noqa: BLE001 — offline or bad repo id
+        raise FileNotFoundError(
+            f"'{pretrained}' is not a local directory and could not be downloaded "
+            f"from the Hugging Face Hub ({type(e).__name__}: {e}). Offline use "
+            "requires a local checkpoint directory."
+        ) from e
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    st_path = os.path.join(path, SAFETENSORS_NAME)
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(st_path))
+    bin_path = os.path.join(path, TORCH_WEIGHTS_NAME)
+    if os.path.exists(bin_path):
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no weight file in {path}")
+
+
+def _strip_duplicate_generator_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Drop torch DGMR's ``generator.*`` duplicates of the shared submodules.
+
+    Torch emits each shared submodule twice (``dgmr.py:108-123``:
+    ``self.sampler`` and ``self.generator.sampler`` are the same object).
+    Our tree keeps the non-prefixed copies.  Standalone Generator checkpoints
+    (keys all under the three stacks, no duplicates) pass through unchanged.
+    """
+    has_dup = any(k.startswith("generator.") for k in sd) and any(
+        not k.startswith("generator.") and not k.startswith("discriminator.") for k in sd
+    )
+    if not has_dup:
+        return dict(sd)
+    return {k: v for k, v in sd.items() if not k.startswith("generator.")}
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+class BoundModel:
+    """A Flax module bound to its variables — the reference's stateful-model UX.
+
+    Call it like the torch model: ``out = model(x)`` (pass ``rng=`` for
+    stochastic paths: latent draws, discriminator frame sampling).
+    """
+
+    def __init__(self, module, variables: Mapping[str, Any], config: Dict[str, Any]):
+        self.module = module
+        self.variables = variables
+        self.config = dict(config)
+
+    def __call__(self, *args, rng: Optional[jax.Array] = None, train: bool = False, **kwargs):
+        rngs = None
+        if rng is not None:
+            k1, k2 = jax.random.split(rng)
+            rngs = {"latent": k1, "frames": k2}
+        return self.module.apply(self.variables, *args, train=train, rngs=rngs, **kwargs)
+
+    def apply(self, *args, **kwargs):
+        return self.module.apply(self.variables, *args, **kwargs)
+
+    def save_pretrained(self, save_directory: str) -> None:
+        save_checkpoint(save_directory, _module_config(self.module), self.variables)
+
+    def push_to_hub(self, repo_id: str, **kwargs) -> None:
+        import tempfile
+
+        from huggingface_hub import HfApi
+
+        with tempfile.TemporaryDirectory() as tmp:
+            self.save_pretrained(tmp)
+            HfApi().upload_folder(repo_id=repo_id, folder_path=tmp, **kwargs)
+
+
+def _module_config(module) -> Dict[str, Any]:
+    if hasattr(module, "config"):
+        return dict(module.config)
+    cfg = {}
+    for f in dataclasses.fields(module):
+        if f.name in ("parent", "name"):
+            continue
+        v = getattr(module, f.name)
+        if isinstance(v, tuple):
+            v = list(v)
+        if isinstance(v, (int, float, str, bool, list, type(None))):
+            cfg[f.name] = v
+    return cfg
+
+
+def build_module(cls, config: Mapping[str, Any], **overrides):
+    """Construct a module from a hub config dict (unknown keys ignored)."""
+    field_names = {f.name for f in dataclasses.fields(cls)} - {"parent", "name"}
+    kwargs = {k: v for k, v in {**config, **overrides}.items() if k in field_names}
+    if "shape" in kwargs and isinstance(kwargs["shape"], list):
+        kwargs["shape"] = tuple(kwargs["shape"])
+    return cls(**kwargs)
+
+
+def from_pretrained(cls, pretrained: str, **config_overrides) -> BoundModel:
+    """Load a model (ours or a torch reference checkpoint) into a BoundModel."""
+    path = _resolve_dir(pretrained)
+    if os.path.exists(os.path.join(path, FLAX_WEIGHTS_NAME)):
+        config, variables = load_checkpoint(path)
+        module = build_module(cls, config, **config_overrides)
+        abstract = _abstract_variables(module)
+        return BoundModel(module, _fill(abstract, variables), config)
+
+    # Torch checkpoint import.
+    import json
+
+    config_path = os.path.join(path, CONFIG_NAME)
+    config = {}
+    if os.path.exists(config_path):
+        with open(config_path) as f:
+            config = json.load(f)
+    module = build_module(cls, config, **config_overrides)
+    sd = _strip_duplicate_generator_keys(_load_torch_state_dict(path))
+    converted = convert_torch_state_dict(sd)
+    abstract = _abstract_variables(module)
+    return BoundModel(module, _fill(abstract, converted), config)
+
+
+def compose_generator(
+    conditioning_stack: BoundModel, latent_stack: BoundModel, sampler: BoundModel
+) -> BoundModel:
+    """Recompose a Generator from independently loaded components.
+
+    Mirrors ``Generator(conditioning_stack=ctz, latent_stack=lat, sampler=sam)``
+    (``/root/reference/README.md:64-68``, ``tests/test_model.py:366-399``).
+    """
+    from ..models.generators import Generator
+
+    module = Generator(
+        conditioning_stack=conditioning_stack.module,
+        latent_stack=latent_stack.module,
+        sampler=sampler.module,
+    )
+
+    def merge_collection(name):
+        out = {}
+        for sub, bound in (
+            ("conditioning_stack", conditioning_stack),
+            ("latent_stack", latent_stack),
+            ("sampler", sampler),
+        ):
+            if name in bound.variables:
+                out[sub] = bound.variables[name]
+        return out
+
+    variables = {
+        k: merge_collection(k)
+        for k in ("params", "batch_stats", "spectral")
+        if merge_collection(k)
+    }
+    config = {
+        "conditioning_stack": conditioning_stack.config,
+        "latent_stack": latent_stack.config,
+        "sampler": sampler.config,
+    }
+    return BoundModel(module, variables, config)
+
+
+class HubMixin:
+    """Adds the reference's ``from_pretrained`` classmethod to module classes."""
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path: str, **config_overrides):
+        return from_pretrained(cls, pretrained_model_name_or_path, **config_overrides)

@@ -127,6 +127,10 @@ class ConvGRUCell(nn.Module):
             kernels.append((kernel_n, bias))
 
         (kr, br), (ku, bu), (kc, bc) = kernels
+        dtype = x.dtype
+        kr, ku, kc = kr.astype(dtype), ku.astype(dtype), kc.astype(dtype)
+        br, bu, bc = br.astype(dtype), bu.astype(dtype), bc.astype(dtype)
+        h = h.astype(dtype)
         xh = jnp.concatenate([x, h], axis=-1)
         read = jax.nn.sigmoid(_conv2d(xh, kr) + br)
         update = jax.nn.sigmoid(_conv2d(xh, ku) + bu)
@@ -184,24 +188,28 @@ class ConvGRU(nn.Module):
 
         train = update_stats and not self.is_initializing()
 
+        oc = self.output_channels
+
         if train:
-            # Input-part convs with RAW kernels, batched over all timesteps;
-            # per-step sigma applied inside the scan.
+            # Input-part convs with RAW kernels, batched over all timesteps
+            # AND fused across the three gates (one conv, 3C outputs — one
+            # big MXU matmul); per-step sigma applied inside the scan.
+            k_x_all = jnp.concatenate([kr_x, ku_x, kc_x], axis=-1)
             if x_static:
-                gxr = _conv2d(x_seq, kr_x)
-                gxu = _conv2d(x_seq, ku_x)
-                gxc = _conv2d(x_seq, kc_x)
+                gx = _conv2d(x_seq, k_x_all)
+                gxr, gxu, gxc = gx[..., :oc], gx[..., oc : 2 * oc], gx[..., 2 * oc :]
                 xs = None
             else:
-                gxr = _conv_batched(x_seq, kr_x)
-                gxu = _conv_batched(x_seq, ku_x)
-                gxc = _conv_batched(x_seq, kc_x)
+                gx = _conv_batched(x_seq, k_x_all)
+                gxr, gxu, gxc = gx[..., :oc], gx[..., oc : 2 * oc], gx[..., 2 * oc :]
                 xs = (gxr, gxu, gxc)
 
             wm_r = sn.kernel_to_weight_mat(kr)
             wm_u = sn.kernel_to_weight_mat(ku)
             wm_c = sn.kernel_to_weight_mat(kc)
             sg = jax.lax.stop_gradient
+
+            k_h_ru = jnp.concatenate([kr_h, ku_h], axis=-1)  # fused r+u hidden conv
 
             def step(carry, xt):
                 h, (ur, vr), (uu, vu), (uc, vc) = carry
@@ -215,8 +223,9 @@ class ConvGRU(nn.Module):
                     gr, gu, gc = gxr, gxu, gxc
                 else:
                     gr, gu, gc = xt
-                read = jax.nn.sigmoid((gr + _conv2d(h, kr_h)) / sig_r + br)
-                update = jax.nn.sigmoid((gu + _conv2d(h, ku_h)) / sig_u + bu)
+                gh = _conv2d(h, k_h_ru)
+                read = jax.nn.sigmoid((gr + gh[..., :oc]) / sig_r + br)
+                update = jax.nn.sigmoid((gu + gh[..., oc:]) / sig_u + bu)
                 c = jax.nn.relu((gc + _conv2d(read * h, kc_h)) / sig_c + bc)
                 out = update * h + (1.0 - update) * c
                 return (out, (ur, vr), (uu, vu), (uc, vc)), out
@@ -231,24 +240,34 @@ class ConvGRU(nn.Module):
             return outputs
 
         # Eval: sigma is constant across steps — fold into the kernels once.
+        # Sigma math stays f32; normalized kernels are cast to the activation
+        # dtype so bf16 inputs run the whole recurrence in bf16.
+        dtype = x_seq.dtype
+
         def norm(kernel, uv):
             u, v = uv.value
-            return kernel / sn.spectral_sigma(sn.kernel_to_weight_mat(kernel), u, v)
+            k = kernel / sn.spectral_sigma(sn.kernel_to_weight_mat(kernel), u, v)
+            return k.astype(dtype)
 
         kr_n, ku_n, kc_n = norm(kr, uv_r), norm(ku, uv_u), norm(kc, uv_c)
         kr_xn, kr_hn = kr_n[:, :, :xc, :], kr_n[:, :, xc:, :]
         ku_xn, ku_hn = ku_n[:, :, :xc, :], ku_n[:, :, xc:, :]
         kc_xn, kc_hn = kc_n[:, :, :xc, :], kc_n[:, :, xc:, :]
 
+        br, bu, bc = br.astype(dtype), bu.astype(dtype), bc.astype(dtype)
+        hidden_state = hidden_state.astype(dtype)
+
+        # Gate fusion: one 3C-output conv for the input parts, one 2C-output
+        # conv for the r+u hidden parts — bigger matmuls on the MXU.
+        k_xn_all = jnp.concatenate([kr_xn, ku_xn, kc_xn], axis=-1)
+        k_hn_ru = jnp.concatenate([kr_hn, ku_hn], axis=-1)
         if x_static:
-            gxr = _conv2d(x_seq, kr_xn)
-            gxu = _conv2d(x_seq, ku_xn)
-            gxc = _conv2d(x_seq, kc_xn)
+            gx = _conv2d(x_seq, k_xn_all)
+            gxr, gxu, gxc = gx[..., :oc], gx[..., oc : 2 * oc], gx[..., 2 * oc :]
             xs = None
         else:
-            gxr = _conv_batched(x_seq, kr_xn)
-            gxu = _conv_batched(x_seq, ku_xn)
-            gxc = _conv_batched(x_seq, kc_xn)
+            gx = _conv_batched(x_seq, k_xn_all)
+            gxr, gxu, gxc = gx[..., :oc], gx[..., oc : 2 * oc], gx[..., 2 * oc :]
             xs = (gxr, gxu, gxc)
 
         def step_eval(h, xt):
@@ -256,8 +275,9 @@ class ConvGRU(nn.Module):
                 gr, gu, gc = gxr, gxu, gxc
             else:
                 gr, gu, gc = xt
-            read = jax.nn.sigmoid(gr + _conv2d(h, kr_hn) + br)
-            update = jax.nn.sigmoid(gu + _conv2d(h, ku_hn) + bu)
+            gh = _conv2d(h, k_hn_ru)
+            read = jax.nn.sigmoid(gr + gh[..., :oc] + br)
+            update = jax.nn.sigmoid(gu + gh[..., oc:] + bu)
             c = jax.nn.relu(gc + _conv2d(read * h, kc_hn) + bc)
             out = update * h + (1.0 - update) * c
             return out, out

@@ -1,0 +1,89 @@
+"""Metrics / observability: TensorBoard scalars + nowcast image grids.
+
+Reference capability (SURVEY.md §5): Lightning ``log_dict`` of
+``train|val/{d_loss,g_loss,grid_loss}`` (``dgmr.py:203-210,275-282``),
+TensorBoard frame grids when ``visualize=True`` (``dgmr.py:302-327``), and
+optional wandb.  Metrics here come out of the jitted step as device scalars
+— no host callbacks inside the compiled program.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    """TensorBoard (+ optional wandb) writer with stdout fallback."""
+
+    def __init__(self, log_dir: Optional[str] = None, use_wandb: bool = False, wandb_kwargs=None):
+        self._tb = None
+        self._wandb = None
+        if log_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir)
+            except ImportError:
+                try:
+                    from tensorboardX import SummaryWriter  # type: ignore
+
+                    self._tb = SummaryWriter(log_dir)
+                except ImportError:
+                    print("tensorboard unavailable; logging to stdout", file=sys.stderr)
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(**(wandb_kwargs or {}))
+                self._wandb = wandb
+            except ImportError:
+                print("wandb unavailable; skipping", file=sys.stderr)
+
+    def log_scalars(self, metrics: Mapping[str, float], step: int) -> None:
+        scalars = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
+        if self._tb is None and self._wandb is None:
+            line = " ".join(f"{k}={v:.5g}" for k, v in scalars.items())
+            print(f"step {step}: {line}", file=sys.stderr)
+
+    def log_video_frames(
+        self, tag: str, video: np.ndarray, step: int, max_frames: int = 18
+    ) -> None:
+        """Per-frame image grid of an NTHWC video's first batch element.
+
+        Equivalent of the reference ``visualize_step`` input/target/generated
+        frame grids (``dgmr.py:302-327``).
+        """
+        if self._tb is None and self._wandb is None:
+            return
+        frames = np.asarray(video[0])  # (T, H, W, C)
+        for i, frame in enumerate(frames[:max_frames]):
+            img = _normalize_image(frame)
+            if self._tb is not None:
+                self._tb.add_image(f"{tag}_Frame_{i}", img, step, dataformats="HWC")
+            if self._wandb is not None:
+                self._wandb.log({f"{tag}_Frame_{i}": self._wandb.Image(img)}, step=step)
+
+    def flush(self) -> None:
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def _normalize_image(frame: np.ndarray) -> np.ndarray:
+    lo, hi = float(frame.min()), float(frame.max())
+    if hi > lo:
+        frame = (frame - lo) / (hi - lo)
+    return frame.astype(np.float32)

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..hub.pretrained import HubMixin
 from ..layers.attention import AttentionLayer
 from ..layers.utils import get_conv_layer
 from ..ops import Conv, TorchBatchNorm, avg_pool, space_to_depth, upsample_nearest_2x
@@ -211,7 +212,7 @@ class LBlock(nn.Module):
         return x2 + sc
 
 
-class ContextConditioningStack(nn.Module):
+class ContextConditioningStack(nn.Module, HubMixin):
     """Encode context frames into 4 multi-scale conditioning states.
 
     Reference ``common.py:303-424``.  Input NHWC video ``(B, T, H, W, C)``;
@@ -268,7 +269,7 @@ class ContextConditioningStack(nn.Module):
         return scale_1, scale_2, scale_3, scale_4
 
 
-class LatentConditioningStack(nn.Module):
+class LatentConditioningStack(nn.Module, HubMixin):
     """Draw and transform the latent z (reference ``common.py:427-497``).
 
     Reference quirk Q2: z is sampled with batch size **1** regardless of the

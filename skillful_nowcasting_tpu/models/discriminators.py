@@ -23,11 +23,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..hub.pretrained import HubMixin
 from ..ops import Dense, TorchBatchNorm, avg_pool, space_to_depth
 from .common import DBlock
 
 
-class SpatialDiscriminator(nn.Module):
+class SpatialDiscriminator(nn.Module, HubMixin):
     """Per-frame discriminator on random frames (``discriminators.py:141-232``).
 
     Input NHWC video ``(B, T, H, W, C)``; output ``(B, 1, 1)``.
@@ -89,7 +90,7 @@ class SpatialDiscriminator(nn.Module):
         return out[:, None, :]  # (B, 1, 1)
 
 
-class TemporalDiscriminator(nn.Module):
+class TemporalDiscriminator(nn.Module, HubMixin):
     """3-D stem + per-remaining-timestep tower (``discriminators.py:47-138``).
 
     Input NHWC video ``(B, T, H, W, C)``; output ``(B, 1, 1)``.
@@ -143,7 +144,7 @@ class TemporalDiscriminator(nn.Module):
         return out[:, None, :]  # (B, 1, 1)
 
 
-class Discriminator(nn.Module):
+class Discriminator(nn.Module, HubMixin):
     """Spatial + temporal scores concatenated (``discriminators.py:12-44``).
 
     Output ``(B, 2, 1)`` — spatial score first (consumed positionally by the

@@ -27,12 +27,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..hub.pretrained import HubMixin
 from ..layers.convgru import ConvGRU
 from ..ops import Conv, TorchBatchNorm, depth_to_space
 from .common import GBlock, UpsampleGBlock
 
 
-class Sampler(nn.Module):
+class Sampler(nn.Module, HubMixin):
     """Recurrent decoder from conditioning states + latent (``generators.py:20-182``)."""
 
     forecast_steps: int = 18
@@ -102,7 +103,7 @@ class Sampler(nn.Module):
         return jnp.swapaxes(h, 0, 1)  # (B, T, H, W, C)
 
 
-class Generator(nn.Module):
+class Generator(nn.Module, HubMixin):
     """``sampler(conditioning_stack(x), latent_stack(x))`` (``generators.py:185-212``)."""
 
     conditioning_stack: nn.Module

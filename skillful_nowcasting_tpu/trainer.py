@@ -1,0 +1,156 @@
+"""Trainer: the orchestration loop (reference ``pl.Trainer`` + ``train/run.py``).
+
+Replaces Lightning's fit loop for the DGMR GAN: single jitted DP train step,
+periodic validation (``validation_step`` math), Orbax checkpointing with
+best-on-``train/g_loss`` tracking (reference ``ModelCheckpoint``,
+``run.py:221-231``), checkpoint-on-interrupt (reference wandb artifact
+callback, ``run.py:60-63``), TensorBoard/wandb metrics, and optional
+visualization images (``dgmr.py:302-327``).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import make_manager, restore_state, save_state
+from .dgmr import DGMR
+from .logging_utils import MetricsLogger
+from .parallel import make_dp_eval_step, make_dp_train_step, make_mesh, shard_batch
+from .training import TrainState, init_train_state, make_train_step
+
+
+class Trainer:
+    """Minimal-deps Trainer for the DGMR GAN on a device mesh."""
+
+    def __init__(
+        self,
+        model: DGMR,
+        *,
+        max_steps: int = 1000,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 100,
+        val_every: int = 0,
+        val_batches: int = 1,
+        log_every: int = 10,
+        log_dir: Optional[str] = None,
+        use_wandb: bool = False,
+        mesh=None,
+        seed: int = 0,
+        logging_forward: bool = True,
+        dp_mode: str = "shard_map",
+    ):
+        self.model = model
+        self.max_steps = max_steps
+        self.val_every = val_every
+        self.val_batches = val_batches
+        self.log_every = log_every
+        self.ckpt_every = ckpt_every
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+        self.logging_forward = logging_forward
+
+        self.train_step = make_dp_train_step(
+            model,
+            self.mesh,
+            logging_forward=logging_forward,
+            donate_state=True,
+            mode=dp_mode,
+        )
+        self.eval_step = make_dp_eval_step(model, self.mesh, mode=dp_mode)
+        self.logger = MetricsLogger(log_dir, use_wandb=use_wandb)
+        # Lightning-style last+best pair (run.py:221-231): `latest/` for
+        # resume, `best/` keeping the single best train/g_loss step.
+        self.manager = make_manager(f"{ckpt_dir}/latest") if ckpt_dir else None
+        self.best_manager = (
+            make_manager(
+                f"{ckpt_dir}/best", max_to_keep=1, monitor="train/g_loss", keep_best=True
+            )
+            if ckpt_dir
+            else None
+        )
+
+    def fit(
+        self,
+        train_iter: Iterator,
+        val_iter: Optional[Iterator] = None,
+        *,
+        resume: bool = True,
+    ) -> TrainState:
+        """Run the GAN loop; returns the final state.
+
+        ``train_iter`` / ``val_iter`` yield NTHWC ``(images, future_images)``
+        numpy batches (see :mod:`skillful_nowcasting_tpu.data`).
+        """
+        rng = jax.random.key(self.seed)
+        init_images, init_future = next(train_iter)
+        state = init_train_state(
+            self.model, jax.random.key(self.seed + 1), init_images[:1], init_future[:1]
+        )
+        start_step = 0
+        if self.manager is not None and resume and self.manager.latest_step() is not None:
+            state, rng, start_step = restore_state(self.manager, state, rng)
+            print(f"resumed from step {start_step}", file=sys.stderr)
+
+        step = start_step
+        metrics = {}
+        try:
+            t_log = time.time()
+            for step in range(start_step, self.max_steps):
+                images, future = next(train_iter)
+                images, future = shard_batch((images, future), self.mesh)
+                rng, step_key = jax.random.split(rng)
+                state, metrics = self.train_step(state, images, future, step_key)
+
+                if self.log_every and (step + 1) % self.log_every == 0:
+                    host = {
+                        k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+                    }
+                    dt = (time.time() - t_log) / self.log_every
+                    host["train/steps_per_sec"] = 1.0 / max(dt, 1e-9)
+                    self.logger.log_scalars(host, step + 1)
+                    t_log = time.time()
+                    if self.model.visualize and "train/generated_images" in metrics:
+                        self.logger.log_video_frames(
+                            "train/Generated_Image", np.asarray(metrics["train/generated_images"]), step + 1
+                        )
+                        self.logger.log_video_frames("train/Input_Image_Stack", init_images, step + 1)
+
+                if self.val_every and val_iter is not None and (step + 1) % self.val_every == 0:
+                    self._validate(state, val_iter, rng, step + 1)
+
+                if self.manager is not None and (step + 1) % self.ckpt_every == 0:
+                    scalar_metrics = {
+                        k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+                    }
+                    save_state(self.manager, step + 1, state, rng, scalar_metrics)
+                    save_state(self.best_manager, step + 1, state, rng, scalar_metrics)
+        except KeyboardInterrupt:
+            print("interrupted — saving checkpoint", file=sys.stderr)
+        finally:
+            if self.manager is not None:
+                self.manager.wait_until_finished()
+                scalar_metrics = {
+                    k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+                }
+                if metrics and self.manager.latest_step() != step + 1:
+                    save_state(self.manager, step + 1, state, rng, scalar_metrics)
+                    save_state(self.best_manager, step + 1, state, rng, scalar_metrics)
+                    self.manager.wait_until_finished()
+                self.best_manager.wait_until_finished()
+            self.logger.flush()
+        return state
+
+    def _validate(self, state: TrainState, val_iter: Iterator, rng: jax.Array, step: int):
+        accum = {}
+        for i in range(self.val_batches):
+            images, future = next(val_iter)
+            images, future = shard_batch((images, future), self.mesh)
+            m = self.eval_step(state, images, future, jax.random.fold_in(rng, i))
+            for k, v in m.items():
+                accum[k] = accum.get(k, 0.0) + float(v) / self.val_batches
+        self.logger.log_scalars(accum, step)

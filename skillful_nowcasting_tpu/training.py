@@ -1,0 +1,378 @@
+"""GAN training system: one jitted step for the full D/G optimization cycle.
+
+Reference behavior: ``/root/reference/dgmr/dgmr.py:137-218`` (training_step)
+and ``:220-290`` (validation_step).  The reference runs, per optimizer
+iteration:
+
+* 2 discriminator updates, each on a fresh generator sample concatenated
+  with the 4 context frames (quirk Q7) and batched real‖generated through
+  the discriminator;
+* 1 generator update over ``generation_steps`` (6) fresh samples — hinge
+  loss on the discriminator scores plus ``grid_lambda ×`` grid-cell loss on
+  the sample mean (quirks Q3/Q4);
+* 1 extra logging forward (quirk Q8).
+
+TPU-native restructuring: the whole cycle is ONE jitted function.  The 6
+generator samples and their 6 discriminator scorings run under
+``jax.lax.scan`` (compiled once, sequential like the reference so BatchNorm
+batch-statistics and spectral-norm power-iteration order match), with
+``jax.checkpoint`` (remat) around each generator rollout mirroring the
+reference's ``torch.utils.checkpoint`` (``dgmr.py:150,176``).
+
+Known deliberate deviation: torch's non-reentrant checkpoint recompute
+updates BN/SN buffers a *second* time during backward; we update them once
+per forward (the mathematically intended semantics).
+
+Randomness contract (quirk Q2/Q5): one PRNG key per step is split into
+per-forward ``latent`` keys (each generator call draws a single shared
+batch-1 latent) and per-discriminator-call ``frames`` keys (spatial
+discriminator samples 8 frame indices with replacement).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .dgmr import DGMR
+from .losses import GridCellLoss, loss_hinge_disc, loss_hinge_gen, weight_fn
+
+
+class TrainState(struct.PyTreeNode):
+    """Everything that evolves during training (checkpointable as one pytree)."""
+
+    params: Any
+    batch_stats: Any
+    spectral: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    step: jnp.ndarray
+
+
+def split_params(params: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Partition the DGMR param tree into (generator, discriminator) subtrees."""
+    g = {k: v for k, v in params.items() if k != "discriminator"}
+    d = {"discriminator": params["discriminator"]}
+    return g, d
+
+
+def merge_params(g: Mapping[str, Any], d: Mapping[str, Any]) -> Dict[str, Any]:
+    return {**g, **d}
+
+
+def _overlay(old: Any, new: Any) -> Any:
+    """Recursively overlay mutated collection subtrees onto the previous state."""
+    if isinstance(new, Mapping) and isinstance(old, Mapping):
+        out = dict(old)
+        for k, v in new.items():
+            out[k] = _overlay(old.get(k), v) if k in old else v
+        return out
+    return new
+
+
+def make_optimizers(model: DGMR) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    """Two Adam chains matching torch defaults (``dgmr.py:292-300``)."""
+    g_tx = optax.adam(model.gen_lr, b1=model.beta1, b2=model.beta2, eps=1e-8)
+    d_tx = optax.adam(model.disc_lr, b1=model.beta1, b2=model.beta2, eps=1e-8)
+    return g_tx, d_tx
+
+
+def init_train_state(
+    model: DGMR, rng: jax.Array, images: jnp.ndarray, future_images: jnp.ndarray
+) -> TrainState:
+    """Initialize all variables (G + D) and both optimizer states."""
+    k_params, k_latent, k_frames = jax.random.split(rng, 3)
+    init_fn = jax.jit(partial(model.init, method=DGMR.init_step))
+    variables = init_fn(
+        {"params": k_params, "latent": k_latent, "frames": k_frames},
+        images,
+        future_images,
+    )
+    params = variables["params"]
+    g_params, d_params = split_params(params)
+    g_tx, d_tx = make_optimizers(model)
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        spectral=variables.get("spectral", {}),
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _apply_generator(model, params, batch_stats, spectral, images, latent_key, train):
+    variables = {"params": params, "batch_stats": batch_stats, "spectral": spectral}
+    if train:
+        preds, mut = model.apply(
+            variables,
+            images,
+            train=True,
+            rngs={"latent": latent_key},
+            mutable=["batch_stats", "spectral"],
+        )
+        return (
+            preds,
+            _overlay(batch_stats, mut.get("batch_stats", {})),
+            _overlay(spectral, mut.get("spectral", {})),
+        )
+    preds = model.apply(variables, images, train=False, rngs={"latent": latent_key})
+    return preds, batch_stats, spectral
+
+
+def _apply_discriminator(model, params, batch_stats, spectral, seq, frames_key, train):
+    variables = {"params": params, "batch_stats": batch_stats, "spectral": spectral}
+    if train:
+        scores, mut = model.apply(
+            variables,
+            seq,
+            train=True,
+            rngs={"frames": frames_key},
+            mutable=["batch_stats", "spectral"],
+            method=DGMR.discriminate,
+        )
+        return (
+            scores,
+            _overlay(batch_stats, mut.get("batch_stats", {})),
+            _overlay(spectral, mut.get("spectral", {})),
+        )
+    scores = model.apply(
+        variables, seq, train=False, rngs={"frames": frames_key}, method=DGMR.discriminate
+    )
+    return scores, batch_stats, spectral
+
+
+def _split_scores(scores, n_real):
+    """(2B, 2, 1) discriminator output -> per-branch real/generated scores."""
+    score_real, score_generated = scores[:n_real], scores[n_real:]
+    return (
+        score_real[:, :1],
+        score_real[:, 1:],
+        score_generated[:, :1],
+        score_generated[:, 1:],
+    )
+
+
+def make_train_step(
+    model: DGMR, *, logging_forward: bool = True, axis_name: Optional[str] = None
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the single-step training function (jit / pjit it at the call site).
+
+    Returned signature: ``(state, images, future_images, rng) -> (state, metrics)``
+    with NTHWC batches.  ``logging_forward=False`` drops the reference's unused
+    extra generator forward (quirk Q8) for throughput; the default keeps it for
+    behavioral parity.
+
+    ``axis_name`` enables the shard_map DP mode (see ``parallel/dp.py``):
+    gradients and metrics are ``pmean``-ed over that axis before the optimizer
+    updates (torch-DDP semantics: per-replica batch statistics and latent
+    draws, averaged gradients).  Mutable statistics are pmean-ed at the end of
+    the step so the returned state is replica-consistent.
+    """
+    g_tx, d_tx = make_optimizers(model)
+    grid_loss = GridCellLoss(weight_fn=weight_fn, precip_weight_cap=model.precip_weight_cap)
+    n_disc_steps = 2
+    n_gen = model.generation_steps
+
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name is not None else x
+
+    def train_step(state: TrainState, images, future_images, rng):
+        images = images.astype(jnp.float32)
+        future_images = future_images.astype(jnp.float32)
+        b = images.shape[0]
+        real_seq = jnp.concatenate([images, future_images], axis=1)
+
+        if axis_name is not None:
+            # Per-replica randomness (each rank its own z / frame indices).
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        keys = jax.random.split(rng, 2 * n_disc_steps + 2 * n_gen + 1)
+        d_lat = keys[:n_disc_steps]
+        d_fr = keys[n_disc_steps : 2 * n_disc_steps]
+        g_lat = keys[2 * n_disc_steps : 2 * n_disc_steps + n_gen]
+        g_fr = keys[2 * n_disc_steps + n_gen : 2 * n_disc_steps + 2 * n_gen]
+        k_log = keys[-1]
+
+        params, batch_stats, spectral = state.params, state.batch_stats, state.spectral
+        d_opt_state = state.d_opt_state
+
+        # ------------------------------------------------------------------
+        # Discriminator phase: 2 sequential updates (``dgmr.py:148-170``),
+        # rolled into one lax.scan so the D subgraph is traced/compiled once.
+        # ------------------------------------------------------------------
+        g_params, d_params = split_params(params)
+
+        def d_phase(carry, keys):
+            d_p, d_opt, bs, sp = carry
+            k_lat, k_fr = keys
+            preds, bs, sp = _apply_generator(
+                model, merge_params(g_params, d_p), bs, sp, images, k_lat, train=True
+            )
+            preds = jax.lax.stop_gradient(preds)
+            gen_seq = jnp.concatenate([images, preds], axis=1)
+            concat_in = jnp.concatenate([real_seq, gen_seq], axis=0)
+
+            def d_loss_fn(d_pp, bs, sp):
+                scores, bs, sp = _apply_discriminator(
+                    model, merge_params(g_params, d_pp), bs, sp, concat_in, k_fr, True
+                )
+                rs, rt, gs, gt = _split_scores(scores, b)
+                loss = loss_hinge_disc(gs, rs) + loss_hinge_disc(gt, rt)
+                return loss, (bs, sp)
+
+            (loss, (bs, sp)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                d_p, bs, sp
+            )
+            d_grads = pmean(d_grads)
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_p)
+            d_p = optax.apply_updates(d_p, d_updates)
+            return (d_p, d_opt, bs, sp), loss
+
+        (d_params, d_opt_state, batch_stats, spectral), d_losses = jax.lax.scan(
+            d_phase,
+            (d_params, d_opt_state, batch_stats, spectral),
+            (d_lat, d_fr),
+        )
+        d_loss = d_losses[-1]  # reference logs the last D step's loss
+        params = merge_params(g_params, d_params)
+
+        # ------------------------------------------------------------------
+        # Generator phase (``dgmr.py:175-201``): 6 samples under lax.scan,
+        # remat around each rollout.
+        # ------------------------------------------------------------------
+        g_params, d_params = split_params(params)
+
+        @partial(jax.checkpoint, prevent_cse=False)
+        def gen_rollout(g_p, bs, sp, key):
+            return _apply_generator(
+                model, merge_params(g_p, d_params), bs, sp, images, key, train=True
+            )
+
+        def g_loss_fn(g_p, bs, sp):
+            def sample_body(carry, key):
+                bs, sp = carry
+                preds, bs, sp = gen_rollout(g_p, bs, sp, key)
+                return (bs, sp), preds
+
+            (bs, sp), preds = jax.lax.scan(sample_body, (bs, sp), g_lat)
+            gen_mean = jnp.mean(preds, axis=0)
+            grid = grid_loss(gen_mean, future_images)
+
+            full = merge_params(g_p, d_params)
+
+            def score_body(carry, inp):
+                bs, sp = carry
+                p, k_fr = inp
+                concat_in = jnp.concatenate(
+                    [real_seq, jnp.concatenate([images, p], axis=1)], axis=0
+                )
+                scores, bs, sp = _apply_discriminator(
+                    model, full, bs, sp, concat_in, k_fr, True
+                )
+                return (bs, sp), scores[b:]
+
+            (bs, sp), gen_scores = jax.lax.scan(score_body, (bs, sp), (preds, g_fr))
+            g_disc_loss = loss_hinge_gen(gen_scores)
+            loss = g_disc_loss + model.grid_lambda * grid
+            return loss, (bs, sp, grid, g_disc_loss)
+
+        (g_loss, (batch_stats, spectral, grid, g_disc_loss)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(g_params, batch_stats, spectral)
+        g_grads = pmean(g_grads)
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+        params = merge_params(g_params, d_params)
+
+        # Extra logging forward (quirk Q8) — updates train-mode statistics.
+        generated_images = None
+        if logging_forward:
+            generated_images, batch_stats, spectral = _apply_generator(
+                model, params, batch_stats, spectral, images, k_log, train=True
+            )
+
+        if axis_name is not None:
+            # Replica-consistent state: average the per-replica statistics
+            # (torch DDP leaves BN buffers per-rank; averaging is the
+            # deterministic multi-replica generalization).
+            batch_stats = pmean(batch_stats)
+            spectral = pmean(spectral)
+
+        new_state = state.replace(
+            params=params,
+            batch_stats=batch_stats,
+            spectral=spectral,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "train/d_loss": pmean(d_loss),
+            "train/g_loss": pmean(g_loss),
+            "train/grid_loss": pmean(grid),
+            "train/g_disc_loss": pmean(g_disc_loss),
+        }
+        if model.visualize and generated_images is not None:
+            metrics["train/generated_images"] = generated_images
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model: DGMR, *, axis_name: Optional[str] = None
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array], Dict[str, jnp.ndarray]]:
+    """Validation step (``dgmr.py:220-290``): same math, eval mode, no updates."""
+    grid_loss = GridCellLoss(weight_fn=weight_fn, precip_weight_cap=model.precip_weight_cap)
+    n_gen = model.generation_steps
+
+    def eval_step(state: TrainState, images, future_images, rng):
+        images = images.astype(jnp.float32)
+        future_images = future_images.astype(jnp.float32)
+        b = images.shape[0]
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        real_seq = jnp.concatenate([images, future_images], axis=1)
+        params, bs, sp = state.params, state.batch_stats, state.spectral
+
+        keys = jax.random.split(rng, 2 + 2 * n_gen)
+        # Two discriminator evaluations (only the last loss is logged,
+        # matching the reference loop).
+        d_loss = jnp.zeros(())
+        for i in range(2):
+            preds, _, _ = _apply_generator(model, params, bs, sp, images, keys[0], False)
+            gen_seq = jnp.concatenate([images, preds], axis=1)
+            concat_in = jnp.concatenate([real_seq, gen_seq], axis=0)
+            scores, _, _ = _apply_discriminator(model, params, bs, sp, concat_in, keys[1], False)
+            rs, rt, gs, gt = _split_scores(scores, b)
+            d_loss = loss_hinge_disc(gs, rs) + loss_hinge_disc(gt, rt)
+
+        def sample_body(_, key):
+            preds, _, _ = _apply_generator(model, params, bs, sp, images, key, False)
+            return None, preds
+
+        _, preds = jax.lax.scan(sample_body, None, keys[2 : 2 + n_gen])
+        gen_mean = jnp.mean(preds, axis=0)
+        grid = grid_loss(gen_mean, future_images)
+
+        def score_body(_, inp):
+            p, k_fr = inp
+            concat_in = jnp.concatenate(
+                [real_seq, jnp.concatenate([images, p], axis=1)], axis=0
+            )
+            scores, _, _ = _apply_discriminator(model, params, bs, sp, concat_in, k_fr, False)
+            return None, scores[b:]
+
+        _, gen_scores = jax.lax.scan(score_body, None, (preds, keys[2 + n_gen :]))
+        g_loss = loss_hinge_gen(gen_scores) + model.grid_lambda * grid
+        metrics = {"val/d_loss": d_loss, "val/g_loss": g_loss, "val/grid_loss": grid}
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return metrics
+
+    return eval_step

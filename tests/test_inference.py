@@ -1,0 +1,91 @@
+"""Ensemble generation + giant-tile inference tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skillful_nowcasting_tpu import DGMR
+from skillful_nowcasting_tpu.hub.pretrained import abstract_variables
+from skillful_nowcasting_tpu.inference import make_generate, tiled_nowcast
+from skillful_nowcasting_tpu.utils import random_fill_variables
+
+TINY = dict(
+    forecast_steps=2,
+    input_channels=1,
+    output_shape=128,
+    latent_channels=256,
+    context_channels=32,
+    generation_steps=1,
+    num_samples=2,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = DGMR(**TINY)
+    variables = random_fill_variables(abstract_variables(model), jax.random.key(0))
+    return model, variables
+
+
+def test_make_generate_shapes(model_and_vars):
+    model, variables = model_and_vars
+    gen = make_generate(model)  # num_samples from model config (2)
+    x = jnp.zeros((1, 4, 128, 128, 1), jnp.float32)
+    samples = gen(variables, x, jax.random.key(1))
+    assert samples.shape == (2, 1, 2, 128, 128, 1)
+    assert bool(jnp.isfinite(samples).all())
+    assert float(jnp.max(jnp.abs(samples[0] - samples[1]))) > 0
+
+
+def test_tiled_matches_direct_when_single_tile(model_and_vars):
+    """A field exactly one tile wide must equal the direct forward."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    frames = rng.random((4, 128, 128, 1)).astype(np.float32)
+    z = jax.random.normal(jax.random.key(3), (1, 4, 4, 8), jnp.float32)
+
+    out_tiled = tiled_nowcast(
+        model, variables, frames, tile=128, overlap=32, batch_tiles=2, z=z
+    )
+    direct = model.apply(variables, jnp.asarray(frames)[None], train=False, z=z)
+    np.testing.assert_allclose(out_tiled, np.asarray(direct)[0], rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_nowcast_large_field(model_and_vars):
+    """Non-divisible giant field: full coverage, finite, deterministic."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    frames = rng.random((4, 200, 300, 1)).astype(np.float32)
+
+    out = tiled_nowcast(
+        model, variables, frames, tile=128, overlap=32, batch_tiles=4,
+        rng=jax.random.key(5),
+    )
+    assert out.shape == (2, 200, 300, 1)
+    assert np.isfinite(out).all()
+
+    out2 = tiled_nowcast(
+        model, variables, frames, tile=128, overlap=32, batch_tiles=4,
+        rng=jax.random.key(5),
+    )
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_bf16_inference(model_and_vars):
+    """Casting the input to bfloat16 runs the whole generator in bf16."""
+    model, variables = model_and_vars
+    x = jnp.zeros((1, 4, 128, 128, 1), jnp.bfloat16)
+    out = model.apply(variables, x, train=False, rngs={"latent": jax.random.key(0)})
+    assert out.dtype == jnp.bfloat16
+    assert out.shape == (1, 2, 128, 128, 1)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_tiled_nowcast_validates_args(model_and_vars):
+    model, variables = model_and_vars
+    frames = np.zeros((4, 128, 128, 1), np.float32)
+    with pytest.raises(ValueError):
+        tiled_nowcast(model, variables, frames, tile=100, overlap=32)
+    with pytest.raises(ValueError):
+        tiled_nowcast(model, variables, frames, tile=128, overlap=31)

@@ -1,0 +1,146 @@
+"""Loss tests mirroring the reference suite (``/root/reference/tests/test_losses.py``)
+plus exact-value checks against hand computations and the reference hinge /
+grid-cell formulas (`/root/reference/dgmr/losses.py`, `/root/reference/dgmr/dgmr.py:20-33`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skillful_nowcasting_tpu.losses import (
+    GridCellLoss,
+    MS_SSIMLoss,
+    NowcastingLoss,
+    SSIMLoss,
+    SSIMLossDynamic,
+    FocalLoss,
+    GradientDifferenceLoss,
+    get_loss,
+    grid_cell_regularizer,
+    loss_hinge_disc,
+    loss_hinge_gen,
+    tv_loss,
+    weight_fn,
+)
+
+
+def _rand(key, shape):
+    return jax.random.uniform(jax.random.key(key), shape, jnp.float32)
+
+
+def test_ssim_loss():
+    x = _rand(0, (2, 32, 32, 3))
+    y = _rand(1, (2, 32, 32, 3))
+
+    loss = SSIMLoss()
+    assert float(loss(x, x)) == pytest.approx(0.0, abs=1e-6)
+    assert float(loss(x, y)) != 0
+
+    loss = SSIMLoss(convert_range=True)
+    assert float(loss(x, y)) != 0
+
+
+def test_ms_ssim_loss():
+    x = _rand(2, (2, 256, 256, 3))
+    y = _rand(3, (2, 256, 256, 3))
+
+    loss = MS_SSIMLoss()
+    assert float(loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+    assert float(loss(x, y)) != 0
+
+    loss = MS_SSIMLoss(convert_range=True)
+    assert float(loss(x, y)) != 0
+
+
+def test_ssim_loss_dynamic():
+    x = _rand(4, (2, 256, 256, 3))
+    y = _rand(5, (2, 256, 256, 3))
+    curr = _rand(6, (2, 256, 256, 3))
+
+    loss = SSIMLossDynamic()
+    assert float(loss(curr, x, x)) == pytest.approx(0.0, abs=1e-5)
+    assert float(loss(curr, x, y)) != 0
+
+    loss = SSIMLossDynamic(convert_range=True)
+    assert float(loss(curr, x, y)) != 0
+
+
+def test_tv_loss():
+    # Reference closed-form check (tests/test_losses.py:44-48), NHWC layout.
+    x = np.ones((2, 256, 256, 3), np.float32)
+    x[0, 0, 0, 0] = 2.5
+    assert float(tv_loss(jnp.asarray(x), tv_weight=2)) == pytest.approx(
+        2 * (1.5**2 + 1.5**2)
+    )
+
+
+def test_hinge_losses():
+    gen = jnp.array([[0.5], [-2.0]])
+    real = jnp.array([[0.3], [3.0]])
+    # relu(1-0.3)=0.7, relu(1-3)=0 -> mean 0.35 ; relu(1+0.5)=1.5, relu(1-2)=0 -> mean 0.75
+    assert float(loss_hinge_disc(gen, real)) == pytest.approx(0.35 + 0.75)
+    assert float(loss_hinge_gen(gen)) == pytest.approx(-0.5 * (0.5 - 2.0) * 1.0, abs=1e-6)
+    assert float(loss_hinge_gen(gen)) == pytest.approx(0.75)
+
+
+def test_weight_fn_quirk_q4():
+    y = jnp.array([0.0, 10.0, 30.0])
+    w = weight_fn(y)
+    # max(y+1, 24): a FLOOR of 24 (reference quirk Q4, dgmr.py:33).
+    np.testing.assert_allclose(np.asarray(w), [24.0, 24.0, 31.0])
+
+
+def test_grid_cell_loss_quirk_q3():
+    # (B, T, H, W, C) = (1, 2, 3, 4, 1); no weight_fn.
+    gen = jnp.ones((1, 2, 3, 4, 1)) * 2.0
+    tgt = jnp.ones((1, 2, 3, 4, 1))
+    loss = GridCellLoss()
+    # ||diff||_1 = 24;  24 / T(=2) * H(=3) * W(=4) = 144  (Q3: multiply by H*W)
+    assert float(loss(gen, tgt)) == pytest.approx(24.0 / 2 * 3 * 4)
+
+    weighted = GridCellLoss(weight_fn=weight_fn, precip_weight_cap=24.0)
+    # weights = max(1+1, 24) = 24 everywhere -> 24x the unweighted value
+    assert float(weighted(gen, tgt)) == pytest.approx(24.0 * 144.0)
+
+
+def test_nowcasting_loss():
+    x = jnp.array([0.5, -0.5])
+    loss = NowcastingLoss()
+    assert float(loss(x, real_flag=True)) == pytest.approx(0.5 * (0.5 + 1.5))
+    assert float(loss(x, real_flag=False)) == pytest.approx(0.5 * (1.5 + 0.5))
+
+
+def test_grid_cell_regularizer():
+    samples = jnp.ones((3, 1, 2, 4, 4, 1)) * 2.0
+    targets = jnp.ones((1, 2, 4, 4, 1)) * 30.0
+    # weights clip to 24, |mean - target| = 28 -> mean(28 * 24)
+    assert float(grid_cell_regularizer(samples, targets)) == pytest.approx(28.0 * 24.0)
+
+
+def test_gradient_difference_loss():
+    x = _rand(7, (1, 2, 8, 8, 1))
+    y = _rand(8, (1, 2, 8, 8, 1))
+    gdl = GradientDifferenceLoss(alpha=2)
+    assert float(gdl(x, x)) == pytest.approx(0.0)
+    assert float(gdl(x, y)) > 0
+
+
+def test_focal_loss():
+    logit = jax.nn.softmax(_rand(9, (4, 3)), axis=1)
+    target = jnp.array([0, 1, 2, 1])
+    loss = FocalLoss()
+    val = float(loss(logit, target))
+    assert np.isfinite(val) and val > 0
+
+
+def test_get_loss_factory():
+    x = _rand(10, (2, 32, 32, 1))
+    y = _rand(11, (2, 32, 32, 1))
+    assert float(get_loss("mse")(x, y)) == pytest.approx(float(jnp.mean((x - y) ** 2)))
+    assert float(get_loss("l1")(x, y)) == pytest.approx(float(jnp.mean(jnp.abs(x - y))))
+    assert float(get_loss("ssim")(x, y)) != 0
+    assert callable(get_loss("tv"))
+    assert callable(get_loss("focal"))
+    with pytest.raises(AssertionError):
+        get_loss("nope")

@@ -1,0 +1,108 @@
+"""Multi-device DP tests on the 8-virtual-CPU-device mesh (SURVEY.md §4).
+
+The default DP mode is shard_map (torch-DDP semantics: per-replica batch
+stats and latent draws, pmean-ed gradients) because XLA's GSPMD partitioner
+is an order of magnitude slower to compile on this GAN graph; the pjit
+global-batch mode stays available (``mode="pjit"``) and is exercised on the
+cheap generate path here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skillful_nowcasting_tpu import DGMR
+from skillful_nowcasting_tpu.parallel import (
+    make_dp_eval_step,
+    make_dp_generate,
+    make_dp_train_step,
+    make_mesh,
+    shard_batch,
+)
+from skillful_nowcasting_tpu.training import init_train_state, split_params
+
+TINY = dict(
+    forecast_steps=2,
+    input_channels=1,
+    output_shape=128,
+    latent_channels=256,
+    context_channels=32,
+    generation_steps=1,
+    num_samples=1,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = DGMR(**TINY)
+    mesh = make_mesh(n_data=8)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((8, 4, 128, 128, 1), np.float32))
+    future = jnp.asarray(rng.random((8, 2, 128, 128, 1), np.float32))
+    state = init_train_state(model, jax.random.key(0), images[:1], future[:1])
+    return model, mesh, images, future, state
+
+
+def test_mesh_shape():
+    mesh = make_mesh(n_data=4, n_space=2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    assert make_mesh().shape["data"] == 8
+
+
+def test_dp_train_step_runs(setup):
+    model, mesh, images, future, state = setup
+    step = make_dp_train_step(model, mesh, logging_forward=False, donate_state=False)
+    sharded = shard_batch((images, future), mesh)
+    new_state, metrics = step(state, *sharded, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(new_state.step) == 1
+
+    # Gradient pmean -> replicated params actually moved, and the returned
+    # state is replica-consistent (fully addressable as one logical array).
+    g0, _ = split_params(state.params)
+    g1, _ = split_params(new_state.params)
+    delta = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1))
+    )
+    assert delta > 0
+
+
+def test_dp_eval_step_runs(setup):
+    model, mesh, images, future, state = setup
+    eval_step = make_dp_eval_step(model, mesh)
+    sharded = shard_batch((images, future), mesh)
+    metrics = eval_step(state, *sharded, jax.random.key(2))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_dp_generate(setup):
+    model, mesh, images, _, state = setup
+    gen = make_dp_generate(model, mesh, num_samples=2)
+    variables = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "spectral": state.spectral,
+    }
+    samples = gen(variables, shard_batch(images, mesh), jax.random.key(3))
+    assert samples.shape == (2, 8, 2, 128, 128, 1)
+    assert bool(jnp.isfinite(samples).all())
+    # Different latent draws per sample.
+    assert float(jnp.max(jnp.abs(samples[0] - samples[1]))) > 0
+
+
+def test_graft_dryrun():
+    """The driver's multichip dryrun must pass on the 8-device CPU mesh."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), os.pardir, "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,100 @@
+"""Trainer loop + Orbax checkpoint/resume tests (tiny config, synthetic data)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from skillful_nowcasting_tpu import DGMR
+from skillful_nowcasting_tpu.checkpoint import make_manager, restore_state, save_state
+from skillful_nowcasting_tpu.data import synthetic_batches
+from skillful_nowcasting_tpu.trainer import Trainer
+from skillful_nowcasting_tpu.training import init_train_state
+
+TINY = dict(
+    forecast_steps=2,
+    input_channels=1,
+    output_shape=128,
+    latent_channels=256,
+    context_channels=32,
+    generation_steps=1,
+    num_samples=1,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    model = DGMR(**TINY)
+    rng = np.random.default_rng(0)
+    images = np.asarray(rng.random((1, 4, 128, 128, 1), np.float32))
+    future = np.asarray(rng.random((1, 2, 128, 128, 1), np.float32))
+    return model, init_train_state(model, jax.random.key(0), images, future)
+
+
+def test_checkpoint_roundtrip(tiny_state, tmp_path):
+    model, state = tiny_state
+    manager = make_manager(str(tmp_path / "ckpts"))
+    rng = jax.random.key(42)
+    save_state(manager, 1, state, rng, {"train/g_loss": 1.0})
+    manager.wait_until_finished()
+
+    restored, rng2, step = restore_state(manager, state, jax.random.key(0))
+    assert step == 1
+    np.testing.assert_array_equal(
+        jax.random.key_data(rng2), jax.random.key_data(rng)
+    )
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_best_tracking(tiny_state, tmp_path):
+    model, state = tiny_state
+    manager = make_manager(
+        str(tmp_path / "best"), max_to_keep=2, monitor="train/g_loss", keep_best=True
+    )
+    rng = jax.random.key(0)
+    save_state(manager, 1, state, rng, {"train/g_loss": 5.0})
+    save_state(manager, 2, state, rng, {"train/g_loss": 2.0})
+    save_state(manager, 3, state, rng, {"train/g_loss": 7.0})
+    manager.wait_until_finished()
+    # Best-manager semantics: keeps the max_to_keep BEST steps (2.0@2, 5.0@1);
+    # the worse step 3 is deleted.
+    assert manager.best_step() == 2
+    assert set(manager.all_steps()) == {1, 2}
+
+
+def test_trainer_fit_and_resume(tmp_path):
+    model = DGMR(**TINY)
+    ckpt_dir = str(tmp_path / "run")
+
+    def data():
+        return synthetic_batches(batch_size=8, target_frames=2, size=128, seed=3)
+
+    trainer = Trainer(
+        model,
+        max_steps=2,
+        ckpt_dir=ckpt_dir,
+        ckpt_every=1,
+        log_every=1,
+        val_every=0,
+        seed=0,
+        logging_forward=False,
+    )
+    state = trainer.fit(data())
+    assert int(state.step) == 2
+    assert trainer.manager.latest_step() == 2
+
+    # Resume: a fresh Trainer continues from step 2.
+    trainer2 = Trainer(
+        model,
+        max_steps=3,
+        ckpt_dir=ckpt_dir,
+        ckpt_every=1,
+        log_every=1,
+        val_every=0,
+        seed=0,
+        logging_forward=False,
+    )
+    state2 = trainer2.fit(data())
+    assert int(state2.step) == 3

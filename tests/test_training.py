@@ -1,0 +1,122 @@
+"""Training-system tests: init, jitted train step, eval step, determinism.
+
+Reference behavior spec: ``/root/reference/dgmr/dgmr.py:137-300``.  Uses a
+reduced config in the spirit of ``/root/reference/tests/test_model.py:286-306``
+(output_shape=128 is the smallest the spatial discriminator tower supports).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skillful_nowcasting_tpu.dgmr import DGMR
+from skillful_nowcasting_tpu.training import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+    split_params,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return DGMR(
+        forecast_steps=4,
+        input_channels=1,
+        output_shape=128,
+        latent_channels=384,
+        context_channels=192,
+        generation_steps=2,
+        num_samples=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_batch():
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((1, 4, 128, 128, 1), np.float32))
+    future = jnp.asarray(rng.random((1, 4, 128, 128, 1), np.float32))
+    return images, future
+
+
+@pytest.fixture(scope="module")
+def state(tiny_model, tiny_batch):
+    images, future = tiny_batch
+    return init_train_state(tiny_model, jax.random.key(0), images, future)
+
+
+def test_init_state_structure(tiny_model, state):
+    g, d = split_params(state.params)
+    assert set(d.keys()) == {"discriminator"}
+    assert {"conditioning_stack", "latent_stack", "sampler"} <= set(g.keys())
+    assert int(state.step) == 0
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    assert n_params > 1e5
+
+
+def test_dgmr_forward_shapes(tiny_model, state, tiny_batch):
+    images, _ = tiny_batch
+    out = tiny_model.apply(
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "spectral": state.spectral,
+        },
+        images,
+        train=False,
+        rngs={"latent": jax.random.key(1)},
+    )
+    assert out.shape == (1, 4, 128, 128, 1)
+    assert not bool(jnp.isnan(out).any())
+
+
+def test_train_step_runs_and_updates(tiny_model, state, tiny_batch):
+    images, future = tiny_batch
+    train_step = jax.jit(make_train_step(tiny_model))
+    new_state, metrics = train_step(state, images, future, jax.random.key(2))
+
+    for k in ("train/d_loss", "train/g_loss", "train/grid_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
+
+    # Both G and D params must have moved.
+    g0, d0 = split_params(state.params)
+    g1, d1 = split_params(new_state.params)
+    g_delta = max(
+        float(jnp.max(jnp.abs(a - b))) for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1))
+    )
+    d_delta = max(
+        float(jnp.max(jnp.abs(a - b))) for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(d1))
+    )
+    assert g_delta > 0
+    assert d_delta > 0
+
+    # Train-mode statistics (BN running stats, SN power iteration) advanced.
+    bs_delta = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.batch_stats), jax.tree.leaves(new_state.batch_stats))
+    )
+    assert bs_delta > 0
+
+
+def test_train_step_deterministic(tiny_model, state, tiny_batch):
+    images, future = tiny_batch
+    train_step = jax.jit(make_train_step(tiny_model, logging_forward=False))
+    _, m1 = train_step(state, images, future, jax.random.key(3))
+    _, m2 = train_step(state, images, future, jax.random.key(3))
+    assert float(m1["train/g_loss"]) == float(m2["train/g_loss"])
+    _, m3 = train_step(state, images, future, jax.random.key(4))
+    assert float(m1["train/g_loss"]) != float(m3["train/g_loss"])
+
+
+def test_eval_step(tiny_model, state, tiny_batch):
+    images, future = tiny_batch
+    eval_step = jax.jit(make_eval_step(tiny_model))
+    metrics = eval_step(state, images, future, jax.random.key(5))
+    for k in ("val/d_loss", "val/g_loss", "val/grid_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # Eval is pure: same key -> same metrics.
+    metrics2 = eval_step(state, images, future, jax.random.key(5))
+    assert float(metrics["val/g_loss"]) == float(metrics2["val/g_loss"])

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Training entry point (reference capability: ``/root/reference/train/run.py``).
+
+Streams nimrod-uk-1km (or synthetic data offline), shards batches over the
+device mesh, and runs the jitted DP GAN step with Orbax checkpointing and
+TensorBoard logging.
+
+Examples:
+    python train/run.py --synthetic --max-steps 100 --batch-size 8
+    python train/run.py --batch-size 16 --ckpt-dir ./checkpoints
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train DGMR (TPU-native)")
+    p.add_argument("--batch-size", type=int, default=16)  # reference run.py:182
+    p.add_argument("--max-steps", type=int, default=100_000)
+    p.add_argument("--forecast-steps", type=int, default=18)
+    p.add_argument("--output-shape", type=int, default=256)
+    p.add_argument("--generation-steps", type=int, default=6)
+    p.add_argument("--precision", choices=["fp32", "bf16"], default="fp32")
+    p.add_argument("--ckpt-dir", default="./checkpoints")
+    p.add_argument("--ckpt-every", type=int, default=100)
+    p.add_argument("--log-dir", default="./tb_logs")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--val-every", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument(
+        "--synthetic", action="store_true", help="random data instead of nimrod stream"
+    )
+    p.add_argument(
+        "--no-logging-forward",
+        action="store_true",
+        help="drop the reference's unused extra generator forward (quirk Q8)",
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, ".jax_cache"),
+    )
+    import jax
+
+    from skillful_nowcasting_tpu import DGMR
+    from skillful_nowcasting_tpu.data import DGMRDataModule, synthetic_batches
+    from skillful_nowcasting_tpu.parallel import init_distributed, make_mesh
+    from skillful_nowcasting_tpu.trainer import Trainer
+
+    init_distributed()
+    mesh = make_mesh()
+    print(f"mesh: {mesh}", file=sys.stderr)
+
+    model = DGMR(
+        forecast_steps=args.forecast_steps,
+        output_shape=args.output_shape,
+        generation_steps=args.generation_steps,
+        visualize=args.visualize,
+    )
+
+    if args.synthetic:
+        train_iter = synthetic_batches(
+            batch_size=args.batch_size,
+            target_frames=args.forecast_steps,
+            size=args.output_shape,
+            seed=args.seed,
+        )
+        val_iter = synthetic_batches(
+            batch_size=args.batch_size,
+            target_frames=args.forecast_steps,
+            size=args.output_shape,
+            seed=args.seed + 1,
+        )
+    else:
+        dm = DGMRDataModule(
+            batch_size=args.batch_size, num_target_frames=args.forecast_steps
+        )
+        train_iter = dm.train_dataloader()
+        val_iter = dm.val_dataloader()
+
+    trainer = Trainer(
+        model,
+        max_steps=args.max_steps,
+        ckpt_dir=args.ckpt_dir,
+        ckpt_every=args.ckpt_every,
+        val_every=args.val_every,
+        log_every=args.log_every,
+        log_dir=args.log_dir,
+        use_wandb=args.wandb,
+        mesh=mesh,
+        seed=args.seed,
+        logging_forward=not args.no_logging_forward,
+    )
+    trainer.fit(train_iter, val_iter)
+
+
+if __name__ == "__main__":
+    main()
