@@ -1,5 +1,6 @@
 """Data pipeline: window extraction, nimrod streaming, prefetch, synthetic."""
 
+from .crops import random_crop_batches
 from .nimrod import DGMRDataModule, NimrodStream, batch_windows
 from .prefetch import prefetch_to_device
 from .synthetic import synthetic_batches
@@ -17,5 +18,6 @@ __all__ = [
     "batch_windows",
     "extract_input_and_target_frames",
     "prefetch_to_device",
+    "random_crop_batches",
     "synthetic_batches",
 ]

@@ -66,6 +66,23 @@ def test_prefetch_to_device():
         assert float(a[0, 0, 0, 0, 0]) == i
 
 
+def test_random_crop_batches():
+    from skillful_nowcasting_tpu.data import random_crop_batches
+
+    pool = np.random.default_rng(2).random((30, 64, 96, 1)).astype(np.float32)
+    it = random_crop_batches(
+        pool, batch_size=3, crop=32, num_target_frames=6, seed=1
+    )
+    inp, tgt = next(it)
+    assert inp.shape == (3, 4, 32, 32, 1)
+    assert tgt.shape == (3, 6, 32, 32, 1)
+    # Deterministic per seed.
+    inp2, _ = next(random_crop_batches(pool, batch_size=3, crop=32, num_target_frames=6, seed=1))
+    np.testing.assert_array_equal(inp, inp2)
+    with pytest.raises(ValueError):
+        next(random_crop_batches(pool, 1, crop=128))
+
+
 def test_prefetch_with_sharding():
     from skillful_nowcasting_tpu.parallel import batch_sharding, make_mesh
 
