@@ -154,6 +154,10 @@ class ConvGRU(nn.Module):
     output_channels: int
     kernel_size: int = 3
     sn_eps: float = 1e-4
+    # Fused Pallas rollout (ops/pallas_gru.py). Measured at parity with the
+    # XLA scan on v5e (lvl1 3.5->3.8 ms, lvl2 8.4->7.8 ms at B=16), so it is
+    # opt-in; None currently means off.
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         self.cell = ConvGRUCell(
@@ -263,10 +267,40 @@ class ConvGRU(nn.Module):
         k_hn_ru = jnp.concatenate([kr_hn, ku_hn], axis=-1)
         if x_static:
             gx = _conv2d(x_seq, k_xn_all)
+        else:
+            gx = _conv_batched(x_seq, k_xn_all)
+
+        # Fused Pallas recurrence: the whole rollout in one kernel, hidden
+        # state VMEM-resident across steps (ops/pallas_gru.py).  The hidden
+        # kernels stay VMEM-resident, so auto mode only fires when they fit
+        # the ~16 MB budget alongside the streamed gx/out blocks.
+        use_pallas = bool(self.use_pallas)
+        if use_pallas:
+            kernel_bytes = (k_hn_ru.size + kc_hn.size) * dtype.itemsize
+            block_bytes = (
+                3 * x_seq.shape[-3] * x_seq.shape[-2] * 4 * self.output_channels * 4
+            )
+            if self.kernel_size != 3 or kernel_bytes + block_bytes > 12 * 1024 * 1024:
+                use_pallas = False  # would exceed the VMEM budget
+        if use_pallas:
+            from ..ops.pallas_gru import convgru_rollout
+
+            gx_seq = gx[None] if x_static else gx
+            bias_all = jnp.concatenate([br, bu, bc])
+            return convgru_rollout(
+                gx_seq,
+                hidden_state,
+                k_hn_ru.astype(dtype),
+                kc_hn.astype(dtype),
+                bias_all,
+                n_steps=t,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+        if x_static:
             gxr, gxu, gxc = gx[..., :oc], gx[..., oc : 2 * oc], gx[..., 2 * oc :]
             xs = None
         else:
-            gx = _conv_batched(x_seq, k_xn_all)
             gxr, gxu, gxc = gx[..., :oc], gx[..., oc : 2 * oc], gx[..., 2 * oc :]
             xs = (gxr, gxu, gxc)
 

@@ -20,7 +20,13 @@ import numpy as np
 from .checkpoint import make_manager, restore_state, save_state
 from .dgmr import DGMR
 from .logging_utils import MetricsLogger
-from .parallel import make_dp_eval_step, make_dp_train_step, make_mesh, shard_batch
+from .parallel import (
+    make_dp_eval_step,
+    make_dp_train_step,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
 from .training import TrainState, init_train_state, make_train_step
 
 
@@ -94,6 +100,9 @@ class Trainer:
         start_step = 0
         if self.manager is not None and resume and self.manager.latest_step() is not None:
             state, rng, start_step = restore_state(self.manager, state, rng)
+            # Orbax restores onto one device; replicate over the mesh so the
+            # DP step sees consistent placements.
+            state = jax.device_put(state, replicated_sharding(self.mesh))
             print(f"resumed from step {start_step}", file=sys.stderr)
 
         step = start_step
@@ -116,9 +125,16 @@ class Trainer:
                     t_log = time.time()
                     if self.model.visualize and "train/generated_images" in metrics:
                         self.logger.log_video_frames(
-                            "train/Generated_Image", np.asarray(metrics["train/generated_images"]), step + 1
+                            "train/Generated_Image",
+                            np.asarray(metrics["train/generated_images"]),
+                            step + 1,
                         )
-                        self.logger.log_video_frames("train/Input_Image_Stack", init_images, step + 1)
+                        self.logger.log_video_frames(
+                            "train/Input_Image_Stack", np.asarray(images), step + 1
+                        )
+                        self.logger.log_video_frames(
+                            "train/Target_Image", np.asarray(future), step + 1
+                        )
 
                 if self.val_every and val_iter is not None and (step + 1) % self.val_every == 0:
                     self._validate(state, val_iter, rng, step + 1)
