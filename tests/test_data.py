@@ -83,6 +83,42 @@ def test_random_crop_batches():
         next(random_crop_batches(pool, 1, crop=128))
 
 
+def test_mrms_sequences_numpy_backed():
+    from skillful_nowcasting_tpu.data import MRMSSequences
+
+    array = np.random.default_rng(3).random((64, 96, 128)).astype(np.float32)  # THW
+    array[0, 0, 0] = np.nan
+    seqs = MRMSSequences(
+        array,
+        batch_size=2,
+        crop=64,
+        num_target_frames=6,
+        frames_per_chunk=32,
+        batches_per_chunk=2,
+        seed=5,
+        process_index=0,
+        process_count=1,
+        nan_fill=0.25,
+    )
+    it = iter(seqs)
+    for _ in range(3):  # crosses a chunk boundary
+        inp, tgt = next(it)
+        assert inp.shape == (2, 4, 64, 64, 1)
+        assert tgt.shape == (2, 6, 64, 64, 1)
+        assert np.isfinite(inp).all() and np.isfinite(tgt).all()
+
+
+def test_mrms_tiles():
+    from skillful_nowcasting_tpu.data import mrms_tiles
+
+    array = np.random.default_rng(4).random((10, 32, 48)).astype(np.float32)
+    win = mrms_tiles(array, t_index=7, num_input_frames=4, scale=2.0)
+    assert win.shape == (4, 32, 48, 1)
+    np.testing.assert_allclose(win[..., 0], array[4:8] * 2.0, rtol=1e-6)
+    with pytest.raises(ValueError):
+        mrms_tiles(array, t_index=2)
+
+
 def test_prefetch_with_sharding():
     from skillful_nowcasting_tpu.parallel import batch_sharding, make_mesh
 
