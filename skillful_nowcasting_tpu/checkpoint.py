@@ -11,7 +11,7 @@ latest/best.  Works multi-host (Orbax coordinates across processes).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np

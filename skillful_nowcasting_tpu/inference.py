@@ -24,8 +24,7 @@ field (larger ``overlap`` → smoother seams, more recompute).
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

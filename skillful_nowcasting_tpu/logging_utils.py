@@ -10,7 +10,7 @@ optional wandb.  Metrics here come out of the jitted step as device scalars
 from __future__ import annotations
 
 import sys
-from typing import Dict, Mapping, Optional
+from typing import Mapping, Optional
 
 import numpy as np
 

@@ -27,7 +27,6 @@ product), total variation, gradient difference, focal loss, and the
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence, Union
 
 import jax

@@ -20,12 +20,11 @@ is one XLA program either way; collectives ride ICI (DCN across slices).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dgmr import DGMR
 from ..training import make_eval_step, make_train_step

@@ -18,7 +18,7 @@ equivalents provided here:
 from __future__ import annotations
 
 import contextlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 

@@ -10,6 +10,7 @@ visualization images (``dgmr.py:302-327``).
 
 from __future__ import annotations
 
+import signal
 import sys
 import time
 from typing import Iterator, Optional
@@ -27,7 +28,7 @@ from .parallel import (
     replicated_sharding,
     shard_batch,
 )
-from .training import TrainState, init_train_state, make_train_step
+from .training import TrainState, init_train_state
 
 
 class Trainer:
@@ -49,6 +50,7 @@ class Trainer:
         seed: int = 0,
         logging_forward: bool = True,
         dp_mode: str = "shard_map",
+        on_checkpoint=None,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -59,6 +61,10 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
         self.logging_forward = logging_forward
+        # Called as on_checkpoint(step, ckpt_dir) after each save — the
+        # reference's wandb checkpoint-artifact callback slot
+        # (train/run.py:52-111).
+        self.on_checkpoint = on_checkpoint
 
         self.train_step = make_dp_train_step(
             model,
@@ -107,6 +113,17 @@ class Trainer:
 
         step = start_step
         metrics = {}
+
+        # Preemption safety (TPU VMs get SIGTERM before eviction): convert to
+        # KeyboardInterrupt so the finally-block checkpoints before exit.
+        def _sigterm(_sig, _frm):
+            raise KeyboardInterrupt("SIGTERM (preemption)")
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:
+            pass  # non-main thread — skip
         try:
             t_log = time.time()
             for step in range(start_step, self.max_steps):
@@ -145,6 +162,8 @@ class Trainer:
                     }
                     save_state(self.manager, step + 1, state, rng, scalar_metrics)
                     save_state(self.best_manager, step + 1, state, rng, scalar_metrics)
+                    if self.on_checkpoint is not None:
+                        self.on_checkpoint(step + 1, self.manager.directory)
         except KeyboardInterrupt:
             print("interrupted — saving checkpoint", file=sys.stderr)
         finally:
@@ -159,6 +178,8 @@ class Trainer:
                     self.manager.wait_until_finished()
                 self.best_manager.wait_until_finished()
             self.logger.flush()
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return state
 
     def _validate(self, state: TrainState, val_iter: Iterator, rng: jax.Array, step: int):

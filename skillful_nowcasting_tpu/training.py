@@ -231,9 +231,9 @@ def make_train_step(
             d_grads = pmean(d_grads)
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_p)
             d_p = optax.apply_updates(d_p, d_updates)
-            return (d_p, d_opt, bs, sp), loss
+            return (d_p, d_opt, bs, sp), (loss, optax.global_norm(d_grads))
 
-        (d_params, d_opt_state, batch_stats, spectral), d_losses = jax.lax.scan(
+        (d_params, d_opt_state, batch_stats, spectral), (d_losses, d_gnorms) = jax.lax.scan(
             d_phase,
             (d_params, d_opt_state, batch_stats, spectral),
             (d_lat, d_fr),
@@ -316,6 +316,10 @@ def make_train_step(
             "train/g_loss": pmean(g_loss),
             "train/grid_loss": pmean(grid),
             "train/g_disc_loss": pmean(g_disc_loss),
+            # Gradient observability (the reference's wandb.watch analog,
+            # train/run.py:37-49) — already pmean-ed with the grads.
+            "train/g_grad_norm": optax.global_norm(g_grads),
+            "train/d_grad_norm": d_gnorms[-1],
         }
         if model.visualize and generated_images is not None:
             metrics["train/generated_images"] = generated_images

@@ -298,3 +298,23 @@ def test_latent_conditioning_stack_eval_parity():
     out = stack.apply(variables, z=z_j)
     assert out.shape == (1, 8, 8, 384)
     np.testing.assert_allclose(from_nhwc(out), out_ref, rtol=RTOL, atol=1e-4)
+
+
+@pytest.mark.parametrize("with_r", [False, True])
+def test_coord_conv_parity(with_r):
+    from skillful_nowcasting_tpu.layers import CoordConv
+
+    torch.manual_seed(5)
+    tcc = ref.layers.CoordConv(3, 5, with_r=with_r, kernel_size=3, padding=1)
+    tcc.eval()
+    x = torch.randn(2, 3, 12, 10)
+    with torch.no_grad():
+        out_ref = tcc(x).numpy()
+
+    cc = CoordConv(5, with_r=with_r, conv_kwargs=dict(kernel_size=3, padding=1))
+    variables = cc.init(jax.random.key(0), to_nhwc(x))
+    variables = merge_into_variables(
+        variables, {"params": {"conv": convert_torch_state_dict(tcc.conv.state_dict())["params"]}}
+    )
+    out = cc.apply(variables, to_nhwc(x))
+    np.testing.assert_allclose(from_nhwc(out), out_ref, rtol=RTOL, atol=ATOL)
