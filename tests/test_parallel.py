@@ -94,6 +94,44 @@ def test_dp_generate(setup):
     assert float(jnp.max(jnp.abs(samples[0] - samples[1]))) > 0
 
 
+def test_halo_conv_matches_dense():
+    """H-sharded conv with halo exchange is exact vs the unsharded conv."""
+    from skillful_nowcasting_tpu.parallel import make_spatial_conv
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 32, 5), np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32) * 0.1)
+
+    sharded_conv = make_spatial_conv(mesh)
+    y_sharded = sharded_conv(x, k)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    y_dense = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_dense), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_halo_conv_5x5():
+    from skillful_nowcasting_tpu.parallel import make_spatial_conv
+
+    mesh = make_mesh(n_data=1, n_space=4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 32, 16, 3), np.float32))
+    k = jnp.asarray(rng.standard_normal((5, 5, 3, 4)).astype(np.float32) * 0.1)
+    y_sharded = make_spatial_conv(mesh, padding=2)(x, k)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    y_dense = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(2, 2), (2, 2)], dimension_numbers=dn
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_dense), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_graft_dryrun():
     """The driver's multichip dryrun must pass on the 8-device CPU mesh."""
     import importlib.util
