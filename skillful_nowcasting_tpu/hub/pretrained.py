@@ -219,6 +219,27 @@ class BoundModel:
     def apply(self, *args, **kwargs):
         return self.module.apply(self.variables, *args, **kwargs)
 
+    def predict(
+        self,
+        x,
+        *,
+        rng: Optional[jax.Array] = None,
+        channels_first: bool = False,
+        **kwargs,
+    ):
+        """Forward with optional torch-layout adapters.
+
+        ``channels_first=True`` accepts/returns the reference's NTCHW video
+        layout (``(B, T, C, H, W)``), transposing to/from the framework's
+        native NTHWC — a drop-in for reference-era calling code.
+        """
+        if channels_first:
+            x = jnp.moveaxis(jnp.asarray(x), 2, -1)
+        out = self(x, rng=rng, **kwargs)
+        if channels_first:
+            out = jnp.moveaxis(out, -1, 2)
+        return out
+
     def save_pretrained(self, save_directory: str) -> None:
         save_checkpoint(save_directory, _module_config(self.module), self.variables)
 

@@ -180,6 +180,21 @@ def test_discriminator_torch_import(tmp_path):
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-3, atol=1e-3)
 
 
+def test_predict_channels_first_adapter(dgmr_dir):
+    """NTCHW in/out adapter for reference-era calling code."""
+    bound = DGMR.from_pretrained(dgmr_dir)
+    rng = np.random.default_rng(9)
+    x_nchw = jnp.asarray(rng.random((1, 4, 1, 128, 128), np.float32))
+    out = bound.predict(x_nchw, rng=jax.random.key(0), channels_first=True)
+    assert out.shape == (1, 4, 1, 128, 128)
+
+    x_nhwc = jnp.moveaxis(x_nchw, 2, -1)
+    out2 = bound.predict(x_nhwc, rng=jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(out, 2, -1)), np.asarray(out2), rtol=1e-6
+    )
+
+
 def test_from_pretrained_missing_path_errors():
     with pytest.raises(FileNotFoundError):
         from_pretrained(DGMR, "/nonexistent/definitely-not-a-repo")

@@ -26,7 +26,6 @@ def parse_args():
     p.add_argument("--forecast-steps", type=int, default=18)
     p.add_argument("--output-shape", type=int, default=256)
     p.add_argument("--generation-steps", type=int, default=6)
-    p.add_argument("--precision", choices=["fp32", "bf16"], default="fp32")
     p.add_argument("--ckpt-dir", default="./checkpoints")
     p.add_argument("--ckpt-every", type=int, default=100)
     p.add_argument("--log-dir", default="./tb_logs")
