@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--forecast-steps", type=int, default=18)
     p.add_argument("--output-shape", type=int, default=256)
     p.add_argument("--generation-steps", type=int, default=6)
+    p.add_argument("--latent-channels", type=int, default=768)
+    p.add_argument("--context-channels", type=int, default=384)
     p.add_argument("--ckpt-dir", default="./checkpoints")
     p.add_argument("--ckpt-every", type=int, default=100)
     p.add_argument("--log-dir", default="./tb_logs")
@@ -67,6 +69,8 @@ def main():
         forecast_steps=args.forecast_steps,
         output_shape=args.output_shape,
         generation_steps=args.generation_steps,
+        latent_channels=args.latent_channels,
+        context_channels=args.context_channels,
         visualize=args.visualize,
     )
 
