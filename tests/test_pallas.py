@@ -33,6 +33,34 @@ def test_pallas_convgru_matches_scan(static):
     )
 
 
+@pytest.mark.parametrize("cin,cout", [(8, 8), (8, 12)])
+def test_pallas_gblock_matches_lax(cin, cout):
+    from skillful_nowcasting_tpu.models.common import GBlock
+    from skillful_nowcasting_tpu.ops.pallas_gblock import (
+        fold_gblock_variables,
+        gblock_fused,
+    )
+
+    block = GBlock(input_channels=cin, output_channels=cout)
+    x = jax.random.normal(jax.random.key(0), (3, 16, 12, cin))
+    variables = block.init(jax.random.key(1), x)
+    # Non-trivial BN stats so the affine folding is actually exercised.
+    variables = jax.tree.map(
+        lambda v: v + 0.1 * jnp.ones_like(v) if v.ndim == 1 else v, variables
+    )
+    out_ref = block.apply(variables, x, train=False)
+
+    k1, k2, ksc, a1, b1, a2, b2, b_out, use_sc = fold_gblock_variables(variables)
+    out = gblock_fused(
+        x, k1, k2, ksc, a1, b1, a2, b2, b_out,
+        use_sc_conv=use_sc, tile_rows=4, interpret=True,
+    )
+    assert use_sc == (cin != cout)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_pallas_convgru_rollout_direct():
     from skillful_nowcasting_tpu.ops.pallas_gru import convgru_rollout
 
