@@ -144,3 +144,38 @@ def test_graft_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_graft_dryrun_driver_invocation():
+    """Simulate the driver exactly: fresh subprocess, NO conftest platform setup.
+
+    Round-1 regression (MULTICHIP_r01.json rc=1): the driver imports
+    ``__graft_entry__`` and calls ``dryrun_multichip(8)`` in a process whose
+    environment does not force the CPU platform — the function must
+    self-configure before any device query.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # Strip everything conftest/harness set so the child looks like the driver.
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = flags.replace("--xla_force_host_platform_device_count=8", "")
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]);"
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+            repo,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr}\nstdout:\n{proc.stdout}"
+    assert "dryrun_multichip(8): OK" in proc.stdout
