@@ -46,6 +46,7 @@ def make_dp_train_step(
     logging_forward: bool = True,
     donate_state: bool = True,
     mode: str = "shard_map",
+    watch_gradients: bool = False,
 ):
     """Jit the GAN train step with DP shardings over ``mesh``.
 
@@ -56,7 +57,9 @@ def make_dp_train_step(
     """
     donate = (0,) if donate_state else ()
     if mode == "pjit":
-        step = make_train_step(model, logging_forward=logging_forward)
+        step = make_train_step(
+            model, logging_forward=logging_forward, watch_gradients=watch_gradients
+        )
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         return jax.jit(
@@ -68,7 +71,12 @@ def make_dp_train_step(
     if mode != "shard_map":
         raise ValueError(f"unknown DP mode: {mode}")
 
-    step = make_train_step(model, logging_forward=logging_forward, axis_name=AXIS)
+    step = make_train_step(
+        model,
+        logging_forward=logging_forward,
+        axis_name=AXIS,
+        watch_gradients=watch_gradients,
+    )
     mapped = shard_map(
         step,
         mesh=mesh,

@@ -158,15 +158,42 @@ def _split_scores(scores, n_real):
     )
 
 
+def _layer_grad_norms(grads: Mapping[str, Any], prefix: str, depth: int = 2) -> Dict[str, jnp.ndarray]:
+    """Per-submodule gradient norms down to ``depth`` module levels.
+
+    The ``wandb.watch(model, log="all")`` analog (reference
+    ``train/run.py:37-49``): instead of parameter histograms (host-side and
+    expensive through the tunnel) we emit a norm per layer path, which is the
+    standard TPU-friendly gradient-observability signal.
+    """
+    out: Dict[str, jnp.ndarray] = {}
+
+    def rec(tree, path, d):
+        if d == 0 or not isinstance(tree, Mapping):
+            out[prefix + "/".join(path)] = optax.global_norm(tree)
+            return
+        for k, v in tree.items():
+            rec(v, path + (k,), d - 1)
+
+    rec(grads, (), depth)
+    return out
+
+
 def make_train_step(
-    model: DGMR, *, logging_forward: bool = True, axis_name: Optional[str] = None
+    model: DGMR,
+    *,
+    logging_forward: bool = True,
+    axis_name: Optional[str] = None,
+    watch_gradients: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the single-step training function (jit / pjit it at the call site).
 
     Returned signature: ``(state, images, future_images, rng) -> (state, metrics)``
     with NTHWC batches.  ``logging_forward=False`` drops the reference's unused
     extra generator forward (quirk Q8) for throughput; the default keeps it for
-    behavioral parity.
+    behavioral parity.  ``watch_gradients=True`` adds per-layer gradient norms
+    to the metrics (the reference's ``wandb.watch`` capability,
+    ``train/run.py:37-49``).
 
     ``axis_name`` enables the shard_map DP mode (see ``parallel/dp.py``):
     gradients and metrics are ``pmean``-ed over that axis before the optimizer
@@ -231,9 +258,14 @@ def make_train_step(
             d_grads = pmean(d_grads)
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_p)
             d_p = optax.apply_updates(d_p, d_updates)
-            return (d_p, d_opt, bs, sp), (loss, optax.global_norm(d_grads))
+            layer_norms = (
+                _layer_grad_norms(d_grads["discriminator"], "train/grad_norm/discriminator/")
+                if watch_gradients
+                else {}
+            )
+            return (d_p, d_opt, bs, sp), (loss, optax.global_norm(d_grads), layer_norms)
 
-        (d_params, d_opt_state, batch_stats, spectral), (d_losses, d_gnorms) = jax.lax.scan(
+        (d_params, d_opt_state, batch_stats, spectral), (d_losses, d_gnorms, d_layer_norms) = jax.lax.scan(
             d_phase,
             (d_params, d_opt_state, batch_stats, spectral),
             (d_lat, d_fr),
@@ -321,6 +353,9 @@ def make_train_step(
             "train/g_grad_norm": optax.global_norm(g_grads),
             "train/d_grad_norm": d_gnorms[-1],
         }
+        if watch_gradients:
+            metrics.update(_layer_grad_norms(g_grads, "train/grad_norm/"))
+            metrics.update({k: v[-1] for k, v in d_layer_norms.items()})
         if model.visualize and generated_images is not None:
             metrics["train/generated_images"] = generated_images
         return new_state, metrics
@@ -344,23 +379,29 @@ def make_eval_step(
         real_seq = jnp.concatenate([images, future_images], axis=1)
         params, bs, sp = state.params, state.batch_stats, state.spectral
 
-        keys = jax.random.split(rng, 2 + 2 * n_gen)
-        # Two discriminator evaluations (only the last loss is logged,
-        # matching the reference loop).
-        d_loss = jnp.zeros(())
+        keys = jax.random.split(rng, 4 + 2 * n_gen)
+        # Two discriminator evaluations, each on a FRESH generator sample
+        # (reference draws a new sample per iteration, ``dgmr.py:229-231``);
+        # only the last loss is logged, matching the reference loop.
+        d_losses = []
         for i in range(2):
-            preds, _, _ = _apply_generator(model, params, bs, sp, images, keys[0], False)
+            preds, _, _ = _apply_generator(
+                model, params, bs, sp, images, keys[2 * i], False
+            )
             gen_seq = jnp.concatenate([images, preds], axis=1)
             concat_in = jnp.concatenate([real_seq, gen_seq], axis=0)
-            scores, _, _ = _apply_discriminator(model, params, bs, sp, concat_in, keys[1], False)
+            scores, _, _ = _apply_discriminator(
+                model, params, bs, sp, concat_in, keys[2 * i + 1], False
+            )
             rs, rt, gs, gt = _split_scores(scores, b)
-            d_loss = loss_hinge_disc(gs, rs) + loss_hinge_disc(gt, rt)
+            d_losses.append(loss_hinge_disc(gs, rs) + loss_hinge_disc(gt, rt))
+        d_loss = d_losses[-1]
 
         def sample_body(_, key):
             preds, _, _ = _apply_generator(model, params, bs, sp, images, key, False)
             return None, preds
 
-        _, preds = jax.lax.scan(sample_body, None, keys[2 : 2 + n_gen])
+        _, preds = jax.lax.scan(sample_body, None, keys[4 : 4 + n_gen])
         gen_mean = jnp.mean(preds, axis=0)
         grid = grid_loss(gen_mean, future_images)
 
@@ -372,9 +413,17 @@ def make_eval_step(
             scores, _, _ = _apply_discriminator(model, params, bs, sp, concat_in, k_fr, False)
             return None, scores[b:]
 
-        _, gen_scores = jax.lax.scan(score_body, None, (preds, keys[2 + n_gen :]))
+        _, gen_scores = jax.lax.scan(score_body, None, (preds, keys[4 + n_gen :]))
         g_loss = loss_hinge_gen(gen_scores) + model.grid_lambda * grid
-        metrics = {"val/d_loss": d_loss, "val/g_loss": g_loss, "val/grid_loss": grid}
+        metrics = {
+            "val/d_loss": d_loss,
+            "val/g_loss": g_loss,
+            "val/grid_loss": grid,
+            # Observability/test hook: the first D iteration's loss.  Must
+            # differ from val/d_loss for a fixed step key because each
+            # iteration draws a FRESH generator sample (dgmr.py:229-231).
+            "val/d_loss_first": d_losses[0],
+        }
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)
         return metrics

@@ -111,6 +111,30 @@ def test_train_step_deterministic(tiny_model, state, tiny_batch):
     assert float(m1["train/g_loss"]) != float(m3["train/g_loss"])
 
 
+def test_watch_gradients_metrics(tiny_model, state, tiny_batch):
+    """Per-layer gradient norms (the reference's wandb.watch capability)."""
+    images, future = tiny_batch
+    train_step = jax.jit(
+        make_train_step(tiny_model, logging_forward=False, watch_gradients=True)
+    )
+    _, metrics = train_step(state, images, future, jax.random.key(6))
+    layer_keys = [k for k in metrics if k.startswith("train/grad_norm/")]
+    # Generator top-levels (two module levels deep) and discriminator layers.
+    assert any("sampler" in k for k in layer_keys)
+    assert any("conditioning_stack" in k for k in layer_keys)
+    assert any(k.startswith("train/grad_norm/discriminator/") for k in layer_keys)
+    for k in layer_keys:
+        assert np.isfinite(float(metrics[k])), k
+    # Norms decompose consistently: ||g||^2 == sum of per-layer ||g_l||^2.
+    g_total = float(metrics["train/g_grad_norm"]) ** 2
+    g_sum = sum(
+        float(metrics[k]) ** 2
+        for k in layer_keys
+        if not k.startswith("train/grad_norm/discriminator/")
+    )
+    np.testing.assert_allclose(g_sum, g_total, rtol=1e-4)
+
+
 def test_eval_step(tiny_model, state, tiny_batch):
     images, future = tiny_batch
     eval_step = jax.jit(make_eval_step(tiny_model))
@@ -120,3 +144,6 @@ def test_eval_step(tiny_model, state, tiny_batch):
     # Eval is pure: same key -> same metrics.
     metrics2 = eval_step(state, images, future, jax.random.key(5))
     assert float(metrics["val/g_loss"]) == float(metrics2["val/g_loss"])
+    # Each of the two D iterations draws a FRESH generator sample
+    # (reference dgmr.py:229-231) — for a fixed step key their losses differ.
+    assert float(metrics["val/d_loss_first"]) != float(metrics["val/d_loss"])
