@@ -10,9 +10,17 @@ from .pretrained import (
     from_pretrained,
 )
 from .export import export_torch_state_dict, save_torch_checkpoint
+from .lightning import (
+    convert_lightning_checkpoint,
+    load_lightning_checkpoint,
+    train_state_from_lightning,
+)
 from .serialization import load_checkpoint, save_checkpoint
 
 __all__ = [
+    "convert_lightning_checkpoint",
+    "load_lightning_checkpoint",
+    "train_state_from_lightning",
     "BoundModel",
     "HubMixin",
     "build_module",

@@ -5,6 +5,10 @@ Handles the reference's state-dict conventions (SURVEY.md quirk Q10):
 * spectral-norm parametrization keys
   (``X.parametrizations.weight.original`` -> ``params/X/kernel``,
   ``X.parametrizations.weight.0._u``/``_v`` -> ``spectral/X/uv``);
+* OLD-style spectral-norm keys from the pre-parametrization
+  ``torch.nn.utils.spectral_norm`` era (``X.weight_orig``/``X.weight_u``/
+  ``X.weight_v``; a derived plain ``X.weight`` coexisting with
+  ``weight_orig`` is skipped);
 * conv kernels OIHW -> HWIO (OIDHW -> DHWIO for 3-D), linear (out,in) ->
   (in,out);
 * BatchNorm ``weight``/``bias``/``running_mean``/``running_var`` ->
@@ -77,9 +81,29 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Dict[st
         rm = f"{prefix}.running_mean" if prefix else "running_mean"
         return rm in keys
 
+    def has_old_sn(prefix: str) -> bool:
+        wo = f"{prefix}.weight_orig" if prefix else "weight_orig"
+        return wo in keys
+
     for key, raw in state_dict.items():
         value = _to_numpy(raw)
         parts = key.split(".")
+
+        # Old-style spectral norm (pre-parametrization
+        # ``torch.nn.utils.spectral_norm``): ``weight_orig``/``weight_u``/
+        # ``weight_v`` live directly on the module; a derived plain ``weight``
+        # may coexist in very old checkpoints and is skipped.
+        if parts[-1] in ("weight_orig", "weight_u", "weight_v"):
+            path = tuple(parts[:-1])
+            if parts[-1] == "weight_orig":
+                _set(params, path, "kernel", _convert_weight(value))
+            elif parts[-1] == "weight_u":
+                spectral_u[path] = value
+            else:
+                spectral_v[path] = value
+            continue
+        if parts[-1] == "weight" and has_old_sn(".".join(parts[:-1])):
+            continue
 
         if "parametrizations" in parts:
             i = parts.index("parametrizations")

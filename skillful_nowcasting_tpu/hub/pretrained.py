@@ -278,7 +278,20 @@ def build_module(cls, config: Mapping[str, Any], **overrides):
 
 
 def from_pretrained(cls, pretrained: str, **config_overrides) -> BoundModel:
-    """Load a model (ours or a torch reference checkpoint) into a BoundModel."""
+    """Load a model (ours or a torch reference checkpoint) into a BoundModel.
+
+    Accepts a local directory (our native save or a HF-style torch save), a
+    HF Hub repo id, or a Lightning ``.ckpt`` file written by the reference's
+    own training (``/root/reference/train/run.py:221-231``).
+    """
+    if os.path.isfile(pretrained) and pretrained.endswith(".ckpt"):
+        from .lightning import convert_lightning_checkpoint
+
+        config, converted = convert_lightning_checkpoint(pretrained)
+        module = build_module(cls, config, **config_overrides)
+        abstract = _abstract_variables(module)
+        return BoundModel(module, _fill(abstract, converted), config)
+
     path = _resolve_dir(pretrained)
     if os.path.exists(os.path.join(path, FLAX_WEIGHTS_NAME)):
         config, variables = load_checkpoint(path)

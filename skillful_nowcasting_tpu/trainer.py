@@ -51,6 +51,8 @@ class Trainer:
         logging_forward: bool = True,
         dp_mode: str = "shard_map",
         on_checkpoint=None,
+        prefetch: int = 2,
+        watch_gradients: bool = False,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -61,6 +63,10 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
         self.logging_forward = logging_forward
+        # Batches staged onto the mesh this many steps ahead by a background
+        # thread (the reference DataLoader's worker/pin_memory role,
+        # train/run.py:186-215); 0 disables and stages synchronously.
+        self.prefetch = prefetch
         # Called as on_checkpoint(step, ckpt_dir) after each save — the
         # reference's wandb checkpoint-artifact callback slot
         # (train/run.py:52-111).
@@ -72,6 +78,9 @@ class Trainer:
             logging_forward=logging_forward,
             donate_state=True,
             mode=dp_mode,
+            # The reference's wandb.watch per-layer gradient logging
+            # (train/run.py:37-49), as per-layer norms in the metrics.
+            watch_gradients=watch_gradients,
         )
         self.eval_step = make_dp_eval_step(model, self.mesh, mode=dp_mode)
         self.logger = MetricsLogger(log_dir, use_wandb=use_wandb)
@@ -92,18 +101,38 @@ class Trainer:
         val_iter: Optional[Iterator] = None,
         *,
         resume: bool = True,
+        init_state: Optional[TrainState] = None,
     ) -> TrainState:
         """Run the GAN loop; returns the final state.
 
         ``train_iter`` / ``val_iter`` yield NTHWC ``(images, future_images)``
         numpy batches (see :mod:`skillful_nowcasting_tpu.data`).
+
+        ``init_state`` seeds training from an externally built state (e.g.
+        :func:`~skillful_nowcasting_tpu.hub.train_state_from_lightning` for a
+        reference ``.ckpt``); an existing Orbax checkpoint in ``ckpt_dir``
+        still takes precedence when ``resume=True``.
         """
         rng = jax.random.key(self.seed)
+        if self.prefetch:
+            # Overlap host->HBM staging with compute (double buffering);
+            # batches arrive already sharded so the in-loop shard_batch is a
+            # no-op placement check.
+            from .data.prefetch import prefetch_to_device
+            from .parallel import batch_sharding
+
+            train_iter = prefetch_to_device(
+                train_iter, size=self.prefetch, sharding=batch_sharding(self.mesh)
+            )
         init_images, init_future = next(train_iter)
-        state = init_train_state(
-            self.model, jax.random.key(self.seed + 1), init_images[:1], init_future[:1]
-        )
-        start_step = 0
+        if init_state is not None:
+            state = jax.device_put(init_state, replicated_sharding(self.mesh))
+            start_step = int(jax.device_get(state.step))
+        else:
+            state = init_train_state(
+                self.model, jax.random.key(self.seed + 1), init_images[:1], init_future[:1]
+            )
+            start_step = 0
         if self.manager is not None and resume and self.manager.latest_step() is not None:
             state, rng, start_step = restore_state(self.manager, state, rng)
             # Orbax restores onto one device; replicate over the mesh so the
@@ -172,9 +201,14 @@ class Trainer:
                 scalar_metrics = {
                     k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
                 }
-                if metrics and self.manager.latest_step() != step + 1:
-                    save_state(self.manager, step + 1, state, rng, scalar_metrics)
-                    save_state(self.best_manager, step + 1, state, rng, scalar_metrics)
+                # Label the emergency save with the number of steps that
+                # actually COMPLETED (state.step), not the loop counter — a
+                # SIGTERM landing mid-step would otherwise save state from
+                # step N under the label N+1 and resume would skip a step.
+                completed = int(jax.device_get(state.step))
+                if metrics and self.manager.latest_step() != completed:
+                    save_state(self.manager, completed, state, rng, scalar_metrics)
+                    save_state(self.best_manager, completed, state, rng, scalar_metrics)
                     self.manager.wait_until_finished()
                 self.best_manager.wait_until_finished()
             self.logger.flush()

@@ -212,10 +212,9 @@ def test_torch_export_roundtrip(torch_dgmr, dgmr_dir, tmp_path):
     from safetensors.torch import load_file
 
     sd = load_file(os.path.join(out_dir, "model.safetensors"))
-    missing, unexpected = torch_dgmr.load_state_dict(sd, strict=False)
-    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
-    # Only buffers we legitimately do not track may be missing.
-    assert all("num_batches_tracked" not in k for k in missing) or not missing
+    # strict=True: the exporter must produce EVERY key the reference model
+    # has (incl. synthesized num_batches_tracked) and nothing else.
+    torch_dgmr.load_state_dict(sd, strict=True)
 
     rng = np.random.default_rng(5)
     z_np = rng.standard_normal((8, 4, 4, 1)).astype(np.float32)
@@ -229,3 +228,138 @@ def test_torch_export_roundtrip(torch_dgmr, dgmr_dir, tmp_path):
     out = bound(x_nhwc, z=z_ours)
     err = np.max(np.abs(np.asarray(out) - np.transpose(out_ref, (0, 1, 3, 4, 2))))
     assert err <= 1e-3, f"export roundtrip max error {err}"
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-dialect coverage: old-style spectral norm + Lightning .ckpt
+# (VERDICT round 1: the converter must handle all three formats).
+# ---------------------------------------------------------------------------
+
+
+def _to_old_style(sd):
+    """Rewrite modern parametrization keys to the pre-parametrization
+    ``torch.nn.utils.spectral_norm`` dialect (weight_orig/_u/_v)."""
+    old = {}
+    for k, v in sd.items():
+        if k.endswith(".parametrizations.weight.original"):
+            old[k.replace(".parametrizations.weight.original", ".weight_orig")] = v
+        elif k.endswith(".parametrizations.weight.0._u"):
+            old[k.replace(".parametrizations.weight.0._u", ".weight_u")] = v
+        elif k.endswith(".parametrizations.weight.0._v"):
+            old[k.replace(".parametrizations.weight.0._v", ".weight_v")] = v
+        else:
+            old[k] = v
+    return old
+
+
+def test_old_style_spectral_norm_import(torch_dgmr, dgmr_dir, tmp_path):
+    sd = torch_dgmr.state_dict()
+    old = _to_old_style(sd)
+    assert any(k.endswith(".weight_orig") for k in old)
+    # Very old checkpoints may also carry the derived plain `weight`; it must
+    # be skipped in favor of weight_orig.
+    first_orig = next(k for k in old if k.endswith(".weight_orig"))
+    old[first_orig.replace(".weight_orig", ".weight")] = old[first_orig] * 0 + 123.0
+
+    path = tmp_path / "old_style"
+    os.makedirs(path, exist_ok=True)
+    torch.save(old, os.path.join(path, "pytorch_model.bin"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(TINY, f)
+
+    bound_old = DGMR.from_pretrained(str(path))
+    bound_new = DGMR.from_pretrained(dgmr_dir)
+    for a, b in zip(
+        jax.tree.leaves(bound_old.variables), jax.tree.leaves(bound_new.variables)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def lightning_ckpt(torch_dgmr, tmp_path_factory):
+    """Synthesize the reference trainer's own .ckpt (train/run.py:221-231):
+    state_dict + hyper_parameters + both Adam optimizer states + global_step."""
+    import copy
+
+    model = copy.deepcopy(torch_dgmr)
+    hp = {k: v for k, v in TINY.items() if k != "num_samples"}
+    opt_g = torch.optim.Adam(model.generator.parameters(), lr=5e-5, betas=(0.0, 0.999))
+    opt_d = torch.optim.Adam(
+        model.discriminator.parameters(), lr=2e-4, betas=(0.0, 0.999)
+    )
+    gen = torch.Generator().manual_seed(11)
+    for p in model.generator.parameters():
+        p.grad = torch.randn(p.shape, generator=gen) * 1e-3
+    for p in model.discriminator.parameters():
+        p.grad = torch.randn(p.shape, generator=gen) * 1e-3
+    opt_g.step()
+    opt_d.step()
+    ckpt = {
+        "state_dict": model.state_dict(),
+        "hyper_parameters": hp,
+        "optimizer_states": [opt_g.state_dict(), opt_d.state_dict()],
+        "global_step": 7,
+        "epoch": 0,
+    }
+    path = tmp_path_factory.mktemp("lightning") / "last.ckpt"
+    torch.save(ckpt, str(path))
+    return str(path), model, ckpt
+
+
+def test_lightning_ckpt_from_pretrained(lightning_ckpt):
+    path, model, _ = lightning_ckpt
+    bound = DGMR.from_pretrained(path)
+    assert bound.module.forecast_steps == TINY["forecast_steps"]
+
+    rng = np.random.default_rng(2)
+    z_np = rng.standard_normal((8, 4, 4, 1)).astype(np.float32)
+    model.latent_stack.distribution = _FixedDist(torch.from_numpy(z_np))
+    x = torch.from_numpy(rng.random((1, 4, 1, 128, 128)).astype(np.float32))
+    with torch.no_grad():
+        out_ref = model(x).numpy()
+    x_nhwc = jnp.asarray(np.transpose(x.numpy(), (0, 1, 3, 4, 2)))
+    z_ours = jnp.asarray(np.transpose(z_np, (3, 1, 2, 0)))
+    out = bound(x_nhwc, z=z_ours)
+    err = np.max(np.abs(np.asarray(out) - np.transpose(out_ref, (0, 1, 3, 4, 2))))
+    assert err <= 1e-3, f"lightning import max error {err}"
+
+
+def test_lightning_train_state_resume(lightning_ckpt):
+    """Resume-from-the-reference's-training-run: params AND Adam moments."""
+    from skillful_nowcasting_tpu.hub import train_state_from_lightning
+    from skillful_nowcasting_tpu import DGMR as OurDGMR
+
+    path, model, ckpt = lightning_ckpt
+    our_model = OurDGMR(**TINY)
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.random((1, 4, 128, 128, 1), np.float32))
+    future = jnp.asarray(rng.random((1, 4, 128, 128, 1), np.float32))
+    state, config = train_state_from_lightning(our_model, path, images, future)
+
+    assert int(state.step) == 7
+    assert config["forecast_steps"] == TINY["forecast_steps"]
+    # Both Adam chains took exactly one torch step.
+    assert int(state.g_opt_state[0].count) == 1
+    assert int(state.d_opt_state[0].count) == 1
+
+    # Moment estimates match torch's, transpose-invariantly: compare the sum
+    # and sum-of-squares of every exp_avg/exp_avg_sq against our mu/nu trees.
+    def tree_sum(t):
+        return float(sum(np.sum(np.asarray(x, np.float64)) for x in jax.tree.leaves(t)))
+
+    g_state = ckpt["optimizer_states"][0]["state"]
+    torch_mu_sum = float(
+        sum(e["exp_avg"].double().sum().item() for e in g_state.values())
+    )
+    torch_nu_sum = float(
+        sum(e["exp_avg_sq"].double().sum().item() for e in g_state.values())
+    )
+    np.testing.assert_allclose(tree_sum(state.g_opt_state[0].mu), torch_mu_sum, rtol=1e-4)
+    np.testing.assert_allclose(tree_sum(state.g_opt_state[0].nu), torch_nu_sum, rtol=1e-4)
+    d_state = ckpt["optimizer_states"][1]["state"]
+    torch_d_mu = float(sum(e["exp_avg"].double().sum().item() for e in d_state.values()))
+    np.testing.assert_allclose(tree_sum(state.d_opt_state[0].mu), torch_d_mu, rtol=1e-4)
+
+    # And no moment was dropped: every torch param index landed somewhere.
+    assert len(g_state) == sum(1 for _ in model.generator.parameters())
+    assert len(d_state) == sum(1 for _ in model.discriminator.parameters())

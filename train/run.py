@@ -44,6 +44,17 @@ def parse_args():
         action="store_true",
         help="drop the reference's unused extra generator forward (quirk Q8)",
     )
+    p.add_argument(
+        "--watch-gradients",
+        action="store_true",
+        help="log per-layer gradient norms (reference wandb.watch, run.py:37-49)",
+    )
+    p.add_argument(
+        "--resume-lightning",
+        default=None,
+        metavar="CKPT",
+        help="initialize from a reference Lightning .ckpt (weights + optimizers + step)",
+    )
     return p.parse_args()
 
 
@@ -106,8 +117,31 @@ def main():
         mesh=mesh,
         seed=args.seed,
         logging_forward=not args.no_logging_forward,
+        watch_gradients=args.watch_gradients,
     )
-    trainer.fit(train_iter, val_iter)
+
+    init_state = None
+    if args.resume_lightning:
+        import numpy as np
+
+        from skillful_nowcasting_tpu.hub import train_state_from_lightning
+
+        rng = np.random.default_rng(0)
+        s = args.output_shape
+        images = np.asarray(rng.random((1, 4, s, s, 1), np.float32))
+        future = np.asarray(
+            rng.random((1, args.forecast_steps, s, s, 1), np.float32)
+        )
+        init_state, _ = train_state_from_lightning(
+            model, args.resume_lightning, images, future
+        )
+        print(
+            f"initialized from Lightning ckpt {args.resume_lightning} "
+            f"(step {int(init_state.step)})",
+            file=sys.stderr,
+        )
+
+    trainer.fit(train_iter, val_iter, init_state=init_state)
 
 
 if __name__ == "__main__":
