@@ -97,16 +97,27 @@ class MRMSSequences:
         self.process_index = process_index
         self.process_count = process_count
 
+    def _next_chunk_start(self, rng: np.random.Generator, t_total: int) -> int:
+        """Disjoint per-host chunk start: chunk-aligned slots on the time axis,
+        strided by host index, so no two hosts ever read the same chunk.
+
+        Falls back to independent draws when the array is too short to give
+        every host its own slot.
+        """
+        max_start = t_total - self.frames_per_chunk
+        if max_start <= 0:
+            return 0
+        n_slots = max_start // self.frames_per_chunk + 1
+        host_slots = np.arange(n_slots)[self.process_index :: self.process_count]
+        if host_slots.size:
+            return int(rng.choice(host_slots)) * self.frames_per_chunk
+        return int(rng.integers(0, max_start + 1))
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         t_total = self.array.shape[0]
         rng = np.random.default_rng(self.seed + 7919 * self.process_index)
         while True:
-            # Disjoint per-host chunk starts: stride the time axis by host.
-            max_start = t_total - self.frames_per_chunk
-            if max_start <= 0:
-                start = 0
-            else:
-                start = int(rng.integers(0, max_start + 1))
+            start = self._next_chunk_start(rng, t_total)
             pool = _ensure_thwc(
                 np.asarray(self.array[start : start + self.frames_per_chunk], np.float32)
             )

@@ -29,12 +29,14 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(
-                    ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                )
+            # Always invoke make: the timestamp rule rebuilds when
+            # radar_window.cpp changed, and the .so is never committed
+            # (gitignored) so a stale/foreign-ISA binary can't shadow it.
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
             lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
         except (OSError, subprocess.CalledProcessError) as e:
             print(f"native radar_window unavailable ({e}); numpy fallback", file=sys.stderr)

@@ -16,6 +16,13 @@ from typing import Iterator, Optional
 import jax
 
 
+class _PrefetchError:
+    """Wrapper carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch_to_device(
     iterator: Iterator,
     size: int = 2,
@@ -26,9 +33,13 @@ def prefetch_to_device(
     Each item is an arbitrary pytree of numpy arrays; with ``sharding`` given
     (e.g. ``batch_sharding(mesh)``) every leaf is placed sharded over the
     mesh, otherwise committed to the default device.
+
+    Exceptions raised by the underlying iterator (or by the device transfer)
+    are re-raised in the consumer so a broken data pipeline fails the training
+    loop with the real error instead of a silent end-of-stream.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
-    sentinel = object()
+    end = object()
 
     def put(item):
         if sharding is not None:
@@ -39,14 +50,18 @@ def prefetch_to_device(
         try:
             for item in iterator:
                 q.put(put(item))
-        finally:
-            q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — forwarded to the consumer
+            q.put(_PrefetchError(e))
+        else:
+            q.put(end)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
     while True:
         item = q.get()
-        if item is sentinel:
+        if item is end:
             return
+        if isinstance(item, _PrefetchError):
+            raise item.exc
         yield item

@@ -166,6 +166,23 @@ def ssim(
     return jnp.mean(s) if size_average else jnp.mean(s, axis=1)
 
 
+def _msssim_downsample(x: jnp.ndarray) -> jnp.ndarray:
+    """pytorch_msssim's 2x downsample: ``avg_pool2d(k=2, padding=s % 2)`` on NHWC.
+
+    torch zero-pads BOTH sides, but ``floor((H + 2p - 2)/2) + 1`` windows never
+    reach the bottom/right pad element — the effective semantics are a single
+    top/left zero pad with ``count_include_pad`` (divide by 4 regardless).
+    """
+    pad_h, pad_w = x.shape[1] % 2, x.shape[2] % 2
+    pad = [(0, 0), (pad_h, 0), (pad_w, 0), (0, 0)]
+    return (
+        jax.lax.reduce_window(
+            jnp.pad(x, pad), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        / 4.0
+    )
+
+
 def ms_ssim(
     x: jnp.ndarray,
     y: jnp.ndarray,
@@ -192,14 +209,8 @@ def ms_ssim(
         s, cs = _ssim_per_channel(x, y, data_range, win_size, win_sigma, k1, k2)
         if i < levels - 1:
             mcs.append(jax.nn.relu(cs))
-            pad_h, pad_w = x.shape[1] % 2, x.shape[2] % 2
-            pad = [(0, 0), (0, pad_h), (0, pad_w), (0, 0)]
-            x = jax.lax.reduce_window(
-                jnp.pad(x, pad), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            ) / 4.0
-            y = jax.lax.reduce_window(
-                jnp.pad(y, pad), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            ) / 4.0
+            x = _msssim_downsample(x)
+            y = _msssim_downsample(y)
 
     ssim_val = jax.nn.relu(s)  # last scale
     stacked = jnp.stack(mcs + [ssim_val], axis=0)  # (levels, B, C)

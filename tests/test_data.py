@@ -66,6 +66,19 @@ def test_prefetch_to_device():
         assert float(a[0, 0, 0, 0, 0]) == i
 
 
+def test_prefetch_propagates_errors():
+    # A data-pipeline failure must surface in the consumer with the real
+    # error, not be swallowed as a clean end-of-stream (ADVICE round 1).
+    def gen():
+        yield (np.zeros((2, 2), np.float32),)
+        raise RuntimeError("boom in the data pipeline")
+
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom in the data pipeline"):
+        next(it)
+
+
 def test_random_crop_batches():
     from skillful_nowcasting_tpu.data import random_crop_batches
 
@@ -106,6 +119,31 @@ def test_mrms_sequences_numpy_backed():
         assert inp.shape == (2, 4, 64, 64, 1)
         assert tgt.shape == (2, 6, 64, 64, 1)
         assert np.isfinite(inp).all() and np.isfinite(tgt).all()
+
+
+def test_mrms_disjoint_per_host_chunks():
+    """Hosts draw chunk-aligned, non-overlapping time chunks (ADVICE round 1)."""
+    from skillful_nowcasting_tpu.data import MRMSSequences
+
+    array = np.zeros((512, 8, 8), np.float32)
+    chunk = 32
+    starts = {}
+    for idx in range(4):
+        seqs = MRMSSequences(
+            array,
+            frames_per_chunk=chunk,
+            seed=9,
+            process_index=idx,
+            process_count=4,
+        )
+        rng = np.random.default_rng(0)
+        starts[idx] = {seqs._next_chunk_start(rng, array.shape[0]) for _ in range(200)}
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not (starts[i] & starts[j])
+        for s in starts[i]:
+            assert s % chunk == 0
+            assert (s // chunk) % 4 == i
 
 
 def test_mrms_tiles():

@@ -53,6 +53,29 @@ def test_ms_ssim_loss():
     assert float(loss(x, y)) != 0
 
 
+@pytest.mark.parametrize("hw", [(10, 10), (11, 11), (11, 14), (9, 12)])
+def test_msssim_downsample_matches_torch_avg_pool(hw):
+    """Odd-dim downsample parity: torch ``avg_pool2d(k=2, padding=s%2)``."""
+    import torch
+    import torch.nn.functional as F
+
+    from skillful_nowcasting_tpu.losses import _msssim_downsample
+
+    h, w = hw
+    x = np.asarray(_rand(11, (2, h, w, 3)))
+    ours = np.asarray(_msssim_downsample(jnp.asarray(x)))
+    xt = torch.from_numpy(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))  # NCHW
+    ref = F.avg_pool2d(xt, kernel_size=2, padding=(h % 2, w % 2)).numpy()
+    np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-6, atol=1e-6)
+
+
+def test_ms_ssim_odd_size_runs():
+    # A pyramid level with odd H/W must downsample with torch semantics.
+    x = _rand(7, (1, 181, 181, 1))
+    loss = MS_SSIMLoss()
+    assert float(loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+
+
 def test_ssim_loss_dynamic():
     x = _rand(4, (2, 256, 256, 3))
     y = _rand(5, (2, 256, 256, 3))
