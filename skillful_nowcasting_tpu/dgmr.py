@@ -110,6 +110,26 @@ class DGMR(nn.Module, HubMixin):
         latent_dim = self.latent_stack(x, z=z, train=train)
         return self.sampler(conditioning_states, latent_dim, train=train)
 
+    def generate_ensemble(
+        self,
+        x: jnp.ndarray,
+        num_samples: Optional[int] = None,
+        *,
+        z: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Shared-context S-sample ensemble ``(S, B, T, H, W, C)`` (eval only).
+
+        Equals S independent ``__call__`` forwards with the same latents but
+        computes the deterministic conditioning stack once and runs ONE
+        sampler call at batch ``S*B`` (see
+        :func:`~skillful_nowcasting_tpu.models.generators.ensemble_forward`).
+        """
+        from .models.generators import ensemble_forward
+
+        return ensemble_forward(
+            self, x, num_samples if num_samples is not None else self.num_samples, z=z
+        )
+
     def discriminate(
         self,
         x: jnp.ndarray,

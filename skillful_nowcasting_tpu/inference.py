@@ -31,9 +31,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_generate(model, *, num_samples: Optional[int] = None) -> Callable:
-    """Jitted ensemble generation: ``(variables, x, rng) -> (S, B, T, H, W, C)``."""
+def make_generate(
+    model, *, num_samples: Optional[int] = None, shared_context: bool = True
+) -> Callable:
+    """Jitted ensemble generation: ``(variables, x, rng) -> (S, B, T, H, W, C)``.
+
+    ``shared_context=True`` (default) computes the deterministic conditioning
+    stack once and folds the S samples into the sampler's batch axis
+    (``generate_ensemble``) — identical outputs, one context pass instead of
+    S.  Set ``False`` for the literal S-independent-forwards formulation
+    (lower peak memory at large ``S * B``).
+    """
     n = num_samples if num_samples is not None else getattr(model, "num_samples", 6)
+
+    if shared_context and hasattr(type(model), "generate_ensemble"):
+
+        @jax.jit
+        def generate(variables, x, rng):
+            return model.apply(
+                variables,
+                x,
+                n,
+                rngs={"latent": rng},
+                method=type(model).generate_ensemble,
+            )
+
+        return generate
 
     @jax.jit
     def generate(variables, x, rng):

@@ -103,6 +103,42 @@ class Sampler(nn.Module, HubMixin):
         return jnp.swapaxes(h, 0, 1)  # (B, T, H, W, C)
 
 
+def ensemble_forward(mdl, x: jnp.ndarray, num_samples: int, z=None) -> jnp.ndarray:
+    """S-sample ensemble sharing ONE conditioning-stack pass (eval only).
+
+    The reference generates an ensemble by S independent full forwards
+    (``dgmr.py:175-178``), recomputing the deterministic conditioning stack
+    every time.  Here the context states are computed once and the S samples
+    are folded into the batch axis of a single sampler call (bigger MXU
+    matmuls, no redundant context compute).  Exact per-sample semantics:
+    every sample draws its own batch-1 latent shared across the batch
+    (quirk Q2), and all eval ops are batch-independent, so the result equals
+    S separate forwards with the same latents.
+
+    Args:
+        mdl: module exposing ``conditioning_stack``/``latent_stack``/``sampler``.
+        x: NTHWC context frames ``(B, T_in, H, W, C)``.
+        num_samples: ensemble size S.
+        z: optional fixed latents ``(S, H/32, W/32, 8C)``; drawn from the
+            ``"latent"`` rng stream if omitted.
+
+    Returns:
+        ``(S, B, T_out, H, W, C)`` ensemble.
+    """
+    s = num_samples
+    b = x.shape[0]
+    states = mdl.conditioning_stack(x, train=False)
+    if z is None:
+        key = mdl.make_rng("latent")
+        c, h, w = mdl.latent_stack.shape
+        z = jax.random.normal(key, (s, h, w, c), jnp.float32).astype(x.dtype)
+    latent = mdl.latent_stack(x, z=z, train=False)  # (S, h, w, latent_channels)
+    latent = jnp.repeat(latent, b, axis=0)  # sample-major (S*B, ...)
+    states = tuple(jnp.tile(st, (s,) + (1,) * (st.ndim - 1)) for st in states)
+    out = mdl.sampler(states, latent, train=False)  # (S*B, T, H, W, C)
+    return out.reshape((s, b) + out.shape[1:])
+
+
 class Generator(nn.Module, HubMixin):
     """``sampler(conditioning_stack(x), latent_stack(x))`` (``generators.py:185-212``)."""
 
@@ -114,3 +150,7 @@ class Generator(nn.Module, HubMixin):
         conditioning_states = self.conditioning_stack(x, train=train)
         latent_dim = self.latent_stack(x, z=z, train=train)
         return self.sampler(conditioning_states, latent_dim, train=train)
+
+    def generate_ensemble(self, x: jnp.ndarray, num_samples: int, *, z=None) -> jnp.ndarray:
+        """Shared-context S-sample ensemble; see :func:`ensemble_forward`."""
+        return ensemble_forward(self, x, num_samples, z=z)

@@ -38,6 +38,32 @@ def test_make_generate_shapes(model_and_vars):
     assert float(jnp.max(jnp.abs(samples[0] - samples[1]))) > 0
 
 
+def test_ensemble_shared_context_exact(model_and_vars):
+    """generate_ensemble == S independent forwards for the same fixed latents."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 4, 128, 128, 1), np.float32))
+    z = jnp.asarray(rng.standard_normal((3, 4, 4, 8)).astype(np.float32))
+
+    ens = model.apply(variables, x, 3, z=z, method=DGMR.generate_ensemble)
+    assert ens.shape == (3, 2, 2, 128, 128, 1)
+    for s in range(3):
+        single = model.apply(variables, x, train=False, z=z[s : s + 1])
+        np.testing.assert_allclose(
+            np.asarray(ens[s]), np.asarray(single), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_make_generate_shared_vs_scan(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.default_rng(4).random((1, 4, 128, 128, 1), np.float32))
+    shared = make_generate(model, num_samples=2, shared_context=True)
+    samples = shared(variables, x, jax.random.key(5))
+    assert samples.shape == (2, 1, 2, 128, 128, 1)
+    assert bool(jnp.isfinite(samples).all())
+    assert float(jnp.max(jnp.abs(samples[0] - samples[1]))) > 0
+
+
 def test_tiled_matches_direct_when_single_tile(model_and_vars):
     """A field exactly one tile wide must equal the direct forward."""
     model, variables = model_and_vars
