@@ -28,6 +28,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -215,6 +216,13 @@ class ConvGRU(nn.Module):
 
             k_h_ru = jnp.concatenate([kr_h, ku_h], axis=-1)  # fused r+u hidden conv
 
+            # Remat the step body: scan AD otherwise stacks every per-step
+            # intermediate (gates, gated hidden, conv outputs) over T — a
+            # dozen (T, B, H, W, C) tensors at the 64x64 level.  With remat
+            # the saved residuals collapse to the carried h and the gx
+            # slices (which the scan keeps anyway); the two hidden convs are
+            # recomputed during backward.
+            @partial(jax.checkpoint, prevent_cse=False)
             def step(carry, xt):
                 h, (ur, vr), (uu, vu), (uc, vc) = carry
                 ur, vr = sn.power_iteration(sg(wm_r), ur, vr, self.sn_eps)

@@ -34,12 +34,26 @@ from .common import GBlock, UpsampleGBlock
 
 
 class Sampler(nn.Module, HubMixin):
-    """Recurrent decoder from conditioning states + latent (``generators.py:20-182``)."""
+    """Recurrent decoder from conditioning states + latent (``generators.py:20-182``).
+
+    ``train_t_chunks``: in train mode the per-timestep conv pyramids (1x1 +
+    GBlock + UpsampleGBlock per level, plus the output head) are applied in
+    that many T-chunks, each under ``nn.remat`` — the backward pass then
+    holds one chunk's activations instead of all 18 timesteps'.  This is
+    EXACT, not an approximation: the only cross-timestep coupling in these
+    blocks is (a) the spectral-norm power-iteration sequence, which depends
+    only on the weights and the carried u/v state, and (b) the BatchNorm
+    running-stat EMA, whose closed-form chunk updates compose to the full
+    sequential update.  Both collections thread through the chunk calls in
+    order (equality asserted in ``tests/test_training.py``).  Memory is what
+    gates the paper config (batch 16, 6 samples) on a 16 GB chip.
+    """
 
     forecast_steps: int = 18
     latent_channels: int = 768
     context_channels: int = 384
     output_channels: int = 1
+    train_t_chunks: int = 6
 
     @nn.compact
     def __call__(
@@ -56,6 +70,43 @@ class Sampler(nn.Module, HubMixin):
         # Quirk Q2: latent has batch 1; repeat across the real batch
         # (reference ``generators.py:146-148``).
         latent_dim = jnp.tile(latent_dim, (batch // latent_dim.shape[0], 1, 1, 1))
+
+        t = self.forecast_steps
+        n_chunks = (
+            self.train_t_chunks
+            if train
+            and self.train_t_chunks > 1
+            and t % self.train_t_chunks == 0
+            and not self.is_initializing()
+            else 1
+        )
+
+        def chunked(apply_fn, x):
+            """Apply ``apply_fn(self, x_chunk)`` over T-chunks with remat.
+
+            ``nn.scan`` with ``variable_carry`` threads the mutable
+            collections (BN running stats, spectral u/v) through the chunks
+            in order — each chunk's power-iteration sequence continues from
+            the previous chunk's final state, which is exactly the
+            full-sequence semantics.  The rematted body bounds the backward
+            pass's live activations to one chunk.
+            """
+            if n_chunks == 1:
+                return apply_fn(self, x)
+            size = x.shape[0] // n_chunks
+            xs = x.reshape((n_chunks, size) + x.shape[1:])
+
+            def body(mdl, _carry, xc):
+                return _carry, apply_fn(mdl, xc)
+
+            scan = nn.scan(
+                nn.remat(body, prevent_cse=False),
+                variable_broadcast="params",
+                variable_carry=("batch_stats", "spectral"),
+                split_rngs={},
+            )
+            _, out = scan(self, None, xs)
+            return out.reshape((x.shape[0],) + out.shape[2:])
 
         def level(h_seq, init_state, gru_name, conv_name, g_name, up_name, level_idx):
             div = 2 ** level_idx
@@ -75,16 +126,23 @@ class Sampler(nn.Module, HubMixin):
                 )
             else:
                 out = gru(h_seq, init_state, update_stats=train)
-            out = Conv(lc // div, kernel_size=1, spectral_norm=True, name=conv_name)(
-                out, update_stats=train, sequential=True
-            )
-            out = GBlock(lc // div, lc // div, name=g_name)(
-                out, train=train, sequential=True
-            )
-            out = UpsampleGBlock(lc // div, lc // (div * 2), name=up_name)(
-                out, train=train, sequential=True
-            )
-            return out
+
+            def post(mdl, xc):
+                # Modules are created inside the (possibly lifted) body so
+                # the transform tracks their variables; names are stable, so
+                # the chunked and unchunked paths share parameters.
+                del mdl  # children scope to self via the compact context
+                xc = Conv(lc // div, kernel_size=1, spectral_norm=True, name=conv_name)(
+                    xc, update_stats=train, sequential=True
+                )
+                xc = GBlock(lc // div, lc // div, name=g_name)(
+                    xc, train=train, sequential=True
+                )
+                return UpsampleGBlock(lc // div, lc // (div * 2), name=up_name)(
+                    xc, train=train, sequential=True
+                )
+
+            return chunked(post, out)
 
         # Level order: smallest scale first (quirk Q6) — conditioning state 4
         # feeds the first GRU (``generators.py:152``).
@@ -94,12 +152,19 @@ class Sampler(nn.Module, HubMixin):
         h = level(h, init_states[0], "convGRU4", "gru_conv_1x1_4", "g4", "up_g4", 3)
 
         # Output head, per timestep (``generators.py:176-178``).
-        h = TorchBatchNorm(name="bn")(h, train=train, sequential=True)
-        h = jax.nn.relu(h)
-        h = Conv(4 * self.output_channels, kernel_size=1, spectral_norm=True, name="conv_1x1")(
-            h, update_stats=train, sequential=True
-        )
-        h = depth_to_space(h, 2)  # (T, B, H, W, C)
+        def head(mdl, xc):
+            del mdl
+            xc = TorchBatchNorm(name="bn")(xc, train=train, sequential=True)
+            xc = jax.nn.relu(xc)
+            xc = Conv(
+                4 * self.output_channels,
+                kernel_size=1,
+                spectral_norm=True,
+                name="conv_1x1",
+            )(xc, update_stats=train, sequential=True)
+            return depth_to_space(xc, 2)
+
+        h = chunked(head, h)  # (T, B, H, W, C)
         return jnp.swapaxes(h, 0, 1)  # (B, T, H, W, C)
 
 

@@ -286,29 +286,37 @@ def make_train_step(
             )
 
         def g_loss_fn(g_p, bs, sp):
-            def sample_body(carry, key):
-                bs, sp = carry
-                preds, bs, sp = gen_rollout(g_p, bs, sp, key)
-                return (bs, sp), preds
-
-            (bs, sp), preds = jax.lax.scan(sample_body, (bs, sp), g_lat)
-            gen_mean = jnp.mean(preds, axis=0)
-            grid = grid_loss(gen_mean, future_images)
-
+            # One scan over the 6 samples: each iteration rolls out ONE
+            # sample (rematted), scores it, and accumulates the running
+            # prediction sum — the (6, B, T, H, W, C) stack of all samples
+            # is never materialized (it alone cost 3 GB with layout padding
+            # at the paper config, the difference between fitting B=16 in
+            # 16 GB HBM and not).  Mathematically identical to the
+            # reference's rollouts-then-scorings order: generator rollouts
+            # and discriminator scorings mutate DISJOINT collection
+            # subtrees, so each one's internal update order is preserved.
             full = merge_params(g_p, d_params)
+            sum0 = jnp.zeros(
+                (b, future_images.shape[1]) + images.shape[2:], jnp.float32
+            )
 
-            def score_body(carry, inp):
-                bs, sp = carry
-                p, k_fr = inp
+            def sample_body(carry, keys):
+                bs, sp, sum_preds = carry
+                k_lat, k_fr = keys
+                preds, bs, sp = gen_rollout(g_p, bs, sp, k_lat)
                 concat_in = jnp.concatenate(
-                    [real_seq, jnp.concatenate([images, p], axis=1)], axis=0
+                    [real_seq, jnp.concatenate([images, preds], axis=1)], axis=0
                 )
                 scores, bs, sp = _apply_discriminator(
                     model, full, bs, sp, concat_in, k_fr, True
                 )
-                return (bs, sp), scores[b:]
+                return (bs, sp, sum_preds + preds), scores[b:]
 
-            (bs, sp), gen_scores = jax.lax.scan(score_body, (bs, sp), (preds, g_fr))
+            (bs, sp, sum_preds), gen_scores = jax.lax.scan(
+                sample_body, (bs, sp, sum0), (g_lat, g_fr)
+            )
+            gen_mean = sum_preds / n_gen
+            grid = grid_loss(gen_mean, future_images)
             g_disc_loss = loss_hinge_gen(gen_scores)
             loss = g_disc_loss + model.grid_lambda * grid
             return loss, (bs, sp, grid, g_disc_loss)

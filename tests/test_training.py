@@ -147,3 +147,42 @@ def test_eval_step(tiny_model, state, tiny_batch):
     # Each of the two D iterations draws a FRESH generator sample
     # (reference dgmr.py:229-231) — for a fixed step key their losses differ.
     assert float(metrics["val/d_loss_first"]) != float(metrics["val/d_loss"])
+
+
+def test_sampler_train_t_chunks_exact():
+    """Chunked-remat train path == unchunked: outputs (up to conv-batching
+    reassociation) and EXACT mutable-collection threading (SN u/v sequences,
+    BN running-stat EMA) — the memory lever for paper-config batch 16."""
+    from skillful_nowcasting_tpu.models.generators import Sampler
+
+    rng = np.random.default_rng(0)
+    t, b, lc, cc = 6, 2, 64, 32
+    states = (
+        jnp.asarray(rng.random((b, 64, 64, cc // 8), np.float32)),
+        jnp.asarray(rng.random((b, 32, 32, cc // 4), np.float32)),
+        jnp.asarray(rng.random((b, 16, 16, cc // 2), np.float32)),
+        jnp.asarray(rng.random((b, 8, 8, cc), np.float32)),
+    )
+    latent = jnp.asarray(rng.random((1, 8, 8, lc), np.float32))
+
+    outs, muts = {}, {}
+    for chunks in (1, 3):
+        model = Sampler(
+            forecast_steps=t, latent_channels=lc, context_channels=cc,
+            train_t_chunks=chunks,
+        )
+        variables = model.init({"params": jax.random.key(0)}, states, latent, train=False)
+        out, mut = model.apply(
+            variables, states, latent, train=True, mutable=["batch_stats", "spectral"]
+        )
+        outs[chunks] = np.asarray(out)
+        muts[chunks] = mut
+    np.testing.assert_allclose(outs[1], outs[3], atol=5e-4)
+    for (p, a), (_, c) in zip(
+        jax.tree_util.tree_leaves_with_path(muts[1]),
+        jax.tree_util.tree_leaves_with_path(muts[3]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(p),
+        )
