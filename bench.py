@@ -78,7 +78,7 @@ def measure_ours(batch: int, iters: int, dtype_name: str = "float32") -> float:
     return fps
 
 
-def measure_ours_train(batch: int, iters: int = 4) -> float:
+def measure_ours_train(batch: int, iters: int = 4, dtype_name: str = "float32") -> float:
     """Paper-config GAN train step throughput (steps/sec) on the chip.
 
     The state threads through the ``iters`` steps, so fetching the final
@@ -97,16 +97,20 @@ def measure_ours_train(batch: int, iters: int = 4) -> float:
     from skillful_nowcasting_tpu.training import init_train_state, make_train_step
 
     model = DGMR()  # paper config
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, 4, 256, 256, 1), np.float32))
     future = jnp.asarray(rng.random((batch, 18, 256, 256, 1), np.float32))
     state = init_train_state(model, jax.random.key(0), images[:1], future[:1])
-    step = jax.jit(make_train_step(model, logging_forward=False), donate_argnums=0)
+    step = jax.jit(
+        make_train_step(model, logging_forward=False, compute_dtype=dtype),
+        donate_argnums=0,
+    )
 
     t0 = time.time()
     state, metrics = step(state, images, future, jax.random.key(1))
     float(metrics["train/g_loss"])  # force
-    log(f"[train B={batch}] compile+first step: {time.time() - t0:.1f}s")
+    log(f"[train B={batch} {dtype_name}] compile+first step: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for i in range(iters):
@@ -115,7 +119,7 @@ def measure_ours_train(batch: int, iters: int = 4) -> float:
     dt = (time.time() - t0) / iters
     sps = 1.0 / dt
     log(
-        f"[train B={batch}] {dt*1000:.0f} ms/step -> {sps:.3f} steps/sec, "
+        f"[train B={batch} {dtype_name}] {dt*1000:.0f} ms/step -> {sps:.3f} steps/sec, "
         f"{batch * sps:.2f} samples/sec/chip (g_loss={g:.3f})"
     )
     return sps
@@ -195,8 +199,9 @@ def main() -> None:
 
     if os.environ.get("BENCH_TRAIN") == "1":
         train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+        train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "float32")
         try:
-            measure_ours_train(train_batch)  # logged to stderr
+            measure_ours_train(train_batch, dtype_name=train_dtype)  # logged to stderr
         except Exception as e:  # noqa: BLE001
             log(f"train measurement failed (B={train_batch}): {type(e).__name__}: {e}")
 

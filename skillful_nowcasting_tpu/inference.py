@@ -78,6 +78,122 @@ def _tile_starts(full: int, tile: int, stride: int):
     return starts
 
 
+def tiled_nowcast_device(
+    model,
+    variables,
+    frames: np.ndarray,
+    *,
+    tile: int = 256,
+    overlap: int = 64,
+    batch_tiles: int = 16,
+    rng: Optional[jax.Array] = None,
+    z: Optional[jnp.ndarray] = None,
+    dtype: Optional[jnp.dtype] = None,
+) -> np.ndarray:
+    """Device-resident giant-tile nowcast: ONE jitted program, ONE output fetch.
+
+    The host-streaming :func:`tiled_nowcast` round-trips every overlapping
+    tile through the host (~2x the field in, T_out/T_in x the field out),
+    which dominates wall time on remote-tunnel backends.  Here the padded
+    context field is transferred once, tiles are gathered with
+    ``dynamic_slice`` on device, forwarded batch-by-batch under ``lax.scan``,
+    and their interiors scattered into an HBM-resident output buffer; only
+    the stitched field is fetched.  Requires the padded input + output to fit
+    HBM (e.g. MRMS 3500x7000, 18 steps: ~2.4 GB in f32 — comfortable on one
+    chip); use :func:`tiled_nowcast` for fields beyond HBM or over a mesh.
+
+    Boundary semantics differ slightly from :func:`tiled_nowcast`: the domain
+    is edge-padded by ``overlap/2`` so EVERY tile (edge tiles included) crops
+    a uniform ``overlap/2`` margin — static shapes for XLA.  Interior pixels
+    (≥ ``overlap/2`` from the domain edge) are bit-identical per-tile model
+    forwards; edge pixels condition on edge-replicated context instead of a
+    flush-to-edge tile.
+
+    All tiles share one latent draw (quirk Q2 extended to the domain), like
+    :func:`tiled_nowcast`.
+    """
+    if overlap % 2 or tile % 32:
+        raise ValueError("overlap must be even and tile a multiple of 32")
+    t_in, h, w, c = frames.shape
+    margin = overlap // 2
+    stride = tile - overlap
+    dtype = dtype or jnp.float32
+
+    if z is None:
+        if rng is None:
+            rng = jax.random.key(0)
+        lat = tile // 32
+        z = jax.random.normal(rng, (1, lat, lat, 8 * c), jnp.float32)
+    z = jnp.asarray(z, dtype)
+
+    # Edge-pad by the crop margin, then round up so tiles at `stride` exactly
+    # cover the padded field: (H' - tile) % stride == 0.
+    def padded(n):
+        n2 = n + 2 * margin
+        if n2 < tile:
+            return tile
+        return tile + -(-(n2 - tile) // stride) * stride
+
+    hp, wp = padded(h), padded(w)
+    pads = ((0, 0), (margin, hp - h - margin), (margin, wp - w - margin), (0, 0))
+    field = jnp.asarray(np.pad(frames, pads, mode="edge"), dtype)
+
+    hs = list(range(0, hp - tile + 1, stride))
+    ws = list(range(0, wp - tile + 1, stride))
+    positions = np.array([(i, j) for i in hs for j in ws], np.int32)
+    pad_n = -len(positions) % batch_tiles
+    if pad_n:  # repeat positions: later identical writes are harmless
+        positions = np.concatenate([positions, positions[:pad_n]])
+    positions = positions.reshape(-1, batch_tiles, 2)  # (n_batches, B, 2)
+    inner = tile - 2 * margin
+
+    def run(field, variables, z, positions, t_out):
+        # NB: `field` must be an argument (not a closure capture) — captured
+        # arrays become HLO constants and blow the remote-compile size limit.
+        def gather(pos):  # (2,) -> (T_in, tile, tile, C)
+            return jax.lax.dynamic_slice(
+                field, (0, pos[0], pos[1], 0), (t_in, tile, tile, c)
+            )
+
+        zb = jnp.tile(z, (batch_tiles, 1, 1, 1))
+        out0 = jnp.zeros((t_out, hp, wp, c), dtype)
+
+        def batch_body(out, pos_b):  # pos_b: (B, 2)
+            tiles = jax.vmap(gather)(pos_b)
+            preds = model.apply(variables, tiles, train=False, z=zb)
+            interior = preds[:, :, margin : margin + inner, margin : margin + inner, :]
+
+            def scatter(k, out):
+                return jax.lax.dynamic_update_slice(
+                    out,
+                    interior[k],
+                    (0, pos_b[k, 0] + margin, pos_b[k, 1] + margin, 0),
+                )
+
+            return jax.lax.fori_loop(0, batch_tiles, scatter, out), None
+
+        out, _ = jax.lax.scan(batch_body, out0, positions)
+        return out
+
+    # t_out from the model config (DGMR/Generator expose forecast_steps).
+    t_out = getattr(model, "forecast_steps", None)
+    if t_out is None:
+        probe = model.apply(
+            variables,
+            jnp.zeros((1, t_in, tile, tile, c), dtype),
+            train=False,
+            z=z,
+        )
+        t_out = probe.shape[1]
+
+    run_jit = jax.jit(run, static_argnums=(4,))
+    out = np.asarray(
+        run_jit(field, variables, z, jnp.asarray(positions), int(t_out)),
+        np.float32,
+    )
+    return out[:, margin : margin + h, margin : margin + w, :]
+
+
 def tiled_nowcast(
     model,
     variables,
@@ -89,6 +205,7 @@ def tiled_nowcast(
     rng: Optional[jax.Array] = None,
     z: Optional[jnp.ndarray] = None,
     mesh=None,
+    dtype: Optional[jnp.dtype] = None,
 ) -> np.ndarray:
     """Nowcast an arbitrarily large THWC radar field by tiling.
 
@@ -108,6 +225,8 @@ def tiled_nowcast(
             ``"data"`` axis (tiles are independent, so multi-chip giant-tile
             inference is embarrassingly parallel over ICI; ``batch_tiles``
             must be a multiple of the axis size).
+        dtype: tile-forward compute dtype (``jnp.bfloat16`` for the serving
+            configuration); the stitched output is always float32.
 
     Returns:
         ``(T_out, H, W, C)`` stitched nowcast (numpy, host memory — the
@@ -119,11 +238,13 @@ def tiled_nowcast(
     stride = tile - overlap
     margin = overlap // 2
 
+    dtype = dtype or jnp.float32
     if z is None:
         if rng is None:
             rng = jax.random.key(0)
         lat = tile // 32
         z = jax.random.normal(rng, (1, lat, lat, 8 * c), jnp.float32)
+    z = jnp.asarray(z, dtype)
 
     # Pad up so every tile is full-size.
     ph = max(tile - h, 0)
@@ -135,7 +256,8 @@ def tiled_nowcast(
 
     def run_impl(batch):  # (N, T_in, tile, tile, C)
         zb = jnp.tile(z, (batch.shape[0], 1, 1, 1))
-        return model.apply(variables, batch, train=False, z=zb)
+        preds = model.apply(variables, batch.astype(dtype), train=False, z=zb)
+        return preds.astype(jnp.float32)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

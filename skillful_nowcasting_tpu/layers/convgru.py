@@ -196,10 +196,14 @@ class ConvGRU(nn.Module):
         oc = self.output_channels
 
         if train:
+            # Mixed precision: convs/gates run in the activation dtype; the
+            # power iteration + sigma estimates stay on the raw f32 kernels.
+            dtype = x_seq.dtype
+
             # Input-part convs with RAW kernels, batched over all timesteps
             # AND fused across the three gates (one conv, 3C outputs — one
             # big MXU matmul); per-step sigma applied inside the scan.
-            k_x_all = jnp.concatenate([kr_x, ku_x, kc_x], axis=-1)
+            k_x_all = jnp.concatenate([kr_x, ku_x, kc_x], axis=-1).astype(dtype)
             if x_static:
                 gx = _conv2d(x_seq, k_x_all)
                 gxr, gxu, gxc = gx[..., :oc], gx[..., oc : 2 * oc], gx[..., 2 * oc :]
@@ -214,7 +218,10 @@ class ConvGRU(nn.Module):
             wm_c = sn.kernel_to_weight_mat(kc)
             sg = jax.lax.stop_gradient
 
-            k_h_ru = jnp.concatenate([kr_h, ku_h], axis=-1)  # fused r+u hidden conv
+            k_h_ru = jnp.concatenate([kr_h, ku_h], axis=-1).astype(dtype)
+            kc_h = kc_h.astype(dtype)
+            br_c, bu_c, bc_c = br.astype(dtype), bu.astype(dtype), bc.astype(dtype)
+            hidden_state = hidden_state.astype(dtype)
 
             # Remat the step body: scan AD otherwise stacks every per-step
             # intermediate (gates, gated hidden, conv outputs) over T — a
@@ -236,9 +243,11 @@ class ConvGRU(nn.Module):
                 else:
                     gr, gu, gc = xt
                 gh = _conv2d(h, k_h_ru)
-                read = jax.nn.sigmoid((gr + gh[..., :oc]) / sig_r + br)
-                update = jax.nn.sigmoid((gu + gh[..., oc:]) / sig_u + bu)
-                c = jax.nn.relu((gc + _conv2d(read * h, kc_h)) / sig_c + bc)
+                read = jax.nn.sigmoid((gr + gh[..., :oc]) / sig_r.astype(dtype) + br_c)
+                update = jax.nn.sigmoid((gu + gh[..., oc:]) / sig_u.astype(dtype) + bu_c)
+                c = jax.nn.relu(
+                    (gc + _conv2d(read * h, kc_h)) / sig_c.astype(dtype) + bc_c
+                )
                 out = update * h + (1.0 - update) * c
                 return (out, (ur, vr), (uu, vu), (uc, vc)), out
 

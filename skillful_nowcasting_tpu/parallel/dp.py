@@ -47,6 +47,7 @@ def make_dp_train_step(
     donate_state: bool = True,
     mode: str = "shard_map",
     watch_gradients: bool = False,
+    compute_dtype=None,
 ):
     """Jit the GAN train step with DP shardings over ``mesh``.
 
@@ -55,10 +56,16 @@ def make_dp_train_step(
     globally-shaped batches (shard with :func:`shard_batch` or pass arrays
     already laid out on the mesh).
     """
+    import jax.numpy as jnp
+
+    compute_dtype = compute_dtype or jnp.float32
     donate = (0,) if donate_state else ()
     if mode == "pjit":
         step = make_train_step(
-            model, logging_forward=logging_forward, watch_gradients=watch_gradients
+            model,
+            logging_forward=logging_forward,
+            watch_gradients=watch_gradients,
+            compute_dtype=compute_dtype,
         )
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
@@ -76,6 +83,7 @@ def make_dp_train_step(
         logging_forward=logging_forward,
         axis_name=AXIS,
         watch_gradients=watch_gradients,
+        compute_dtype=compute_dtype,
     )
     mapped = shard_map(
         step,
@@ -87,13 +95,18 @@ def make_dp_train_step(
     return jax.jit(mapped, donate_argnums=donate)
 
 
-def make_dp_eval_step(model: DGMR, mesh: Mesh, *, mode: str = "shard_map"):
+def make_dp_eval_step(
+    model: DGMR, mesh: Mesh, *, mode: str = "shard_map", compute_dtype=None
+):
+    import jax.numpy as jnp
+
+    compute_dtype = compute_dtype or jnp.float32
     if mode == "pjit":
-        step = make_eval_step(model)
+        step = make_eval_step(model, compute_dtype=compute_dtype)
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         return jax.jit(step, in_shardings=(repl, data, data, repl), out_shardings=repl)
-    step = make_eval_step(model, axis_name=AXIS)
+    step = make_eval_step(model, axis_name=AXIS, compute_dtype=compute_dtype)
     mapped = shard_map(
         step,
         mesh=mesh,

@@ -53,6 +53,7 @@ class Trainer:
         on_checkpoint=None,
         prefetch: int = 2,
         watch_gradients: bool = False,
+        compute_dtype=None,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -81,8 +82,13 @@ class Trainer:
             # The reference's wandb.watch per-layer gradient logging
             # (train/run.py:37-49), as per-layer norms in the metrics.
             watch_gradients=watch_gradients,
+            # bf16 mixed precision (f32 master params/moments/stats); the
+            # reference trains precision-32 (run.py:227-234), so f32 default.
+            compute_dtype=compute_dtype,
         )
-        self.eval_step = make_dp_eval_step(model, self.mesh, mode=dp_mode)
+        self.eval_step = make_dp_eval_step(
+            model, self.mesh, mode=dp_mode, compute_dtype=compute_dtype
+        )
         self.logger = MetricsLogger(log_dir, use_wandb=use_wandb)
         # Lightning-style last+best pair (run.py:221-231): `latest/` for
         # resume, `best/` keeping the single best train/g_loss step.

@@ -148,7 +148,12 @@ def _apply_discriminator(model, params, batch_stats, spectral, seq, frames_key, 
 
 
 def _split_scores(scores, n_real):
-    """(2B, 2, 1) discriminator output -> per-branch real/generated scores."""
+    """(2B, 2, 1) discriminator output -> per-branch real/generated scores.
+
+    Scores are cast to f32 so hinge losses accumulate in full precision under
+    mixed-precision training.
+    """
+    scores = scores.astype(jnp.float32)
     score_real, score_generated = scores[:n_real], scores[n_real:]
     return (
         score_real[:, :1],
@@ -185,6 +190,7 @@ def make_train_step(
     logging_forward: bool = True,
     axis_name: Optional[str] = None,
     watch_gradients: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the single-step training function (jit / pjit it at the call site).
 
@@ -200,6 +206,16 @@ def make_train_step(
     updates (torch-DDP semantics: per-replica batch statistics and latent
     draws, averaged gradients).  Mutable statistics are pmean-ed at the end of
     the step so the returned state is replica-consistent.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision training: model
+    inputs are cast to bf16 so every conv/matmul runs at MXU bf16 rate, while
+    master parameters, Adam moments, gradients, BatchNorm statistics and
+    spectral-norm power iteration all stay float32 (the ops compute-dtype
+    follows the input; BN stats and SN sigma are f32 internally regardless —
+    ``ops/norm.py:70``, ``ops/spectral_norm.py``).  Losses and the grid-loss
+    sample mean accumulate in f32.  The reference trains in full precision 32
+    (``/root/reference/train/run.py:227-234``); bf16 is this framework's
+    TPU-serving configuration, off by default.
     """
     g_tx, d_tx = make_optimizers(model)
     grid_loss = GridCellLoss(weight_fn=weight_fn, precip_weight_cap=model.precip_weight_cap)
@@ -210,10 +226,14 @@ def make_train_step(
         return jax.lax.pmean(x, axis_name) if axis_name is not None else x
 
     def train_step(state: TrainState, images, future_images, rng):
-        images = images.astype(jnp.float32)
+        # f32 copies feed the grid loss target; ``*_c`` copies feed the model.
         future_images = future_images.astype(jnp.float32)
+        images_c = images.astype(compute_dtype)
+        images = images.astype(jnp.float32)
         b = images.shape[0]
-        real_seq = jnp.concatenate([images, future_images], axis=1)
+        real_seq = jnp.concatenate(
+            [images, future_images], axis=1
+        ).astype(compute_dtype)
 
         if axis_name is not None:
             # Per-replica randomness (each rank its own z / frame indices).
@@ -238,10 +258,10 @@ def make_train_step(
             d_p, d_opt, bs, sp = carry
             k_lat, k_fr = keys
             preds, bs, sp = _apply_generator(
-                model, merge_params(g_params, d_p), bs, sp, images, k_lat, train=True
+                model, merge_params(g_params, d_p), bs, sp, images_c, k_lat, train=True
             )
             preds = jax.lax.stop_gradient(preds)
-            gen_seq = jnp.concatenate([images, preds], axis=1)
+            gen_seq = jnp.concatenate([images_c, preds], axis=1)
             concat_in = jnp.concatenate([real_seq, gen_seq], axis=0)
 
             def d_loss_fn(d_pp, bs, sp):
@@ -282,7 +302,7 @@ def make_train_step(
         @partial(jax.checkpoint, prevent_cse=False)
         def gen_rollout(g_p, bs, sp, key):
             return _apply_generator(
-                model, merge_params(g_p, d_params), bs, sp, images, key, train=True
+                model, merge_params(g_p, d_params), bs, sp, images_c, key, train=True
             )
 
         def g_loss_fn(g_p, bs, sp):
@@ -305,19 +325,19 @@ def make_train_step(
                 k_lat, k_fr = keys
                 preds, bs, sp = gen_rollout(g_p, bs, sp, k_lat)
                 concat_in = jnp.concatenate(
-                    [real_seq, jnp.concatenate([images, preds], axis=1)], axis=0
+                    [real_seq, jnp.concatenate([images_c, preds], axis=1)], axis=0
                 )
                 scores, bs, sp = _apply_discriminator(
                     model, full, bs, sp, concat_in, k_fr, True
                 )
-                return (bs, sp, sum_preds + preds), scores[b:]
+                return (bs, sp, sum_preds + preds.astype(jnp.float32)), scores[b:]
 
             (bs, sp, sum_preds), gen_scores = jax.lax.scan(
                 sample_body, (bs, sp, sum0), (g_lat, g_fr)
             )
             gen_mean = sum_preds / n_gen
             grid = grid_loss(gen_mean, future_images)
-            g_disc_loss = loss_hinge_gen(gen_scores)
+            g_disc_loss = loss_hinge_gen(gen_scores.astype(jnp.float32))
             loss = g_disc_loss + model.grid_lambda * grid
             return loss, (bs, sp, grid, g_disc_loss)
 
@@ -333,7 +353,7 @@ def make_train_step(
         generated_images = None
         if logging_forward:
             generated_images, batch_stats, spectral = _apply_generator(
-                model, params, batch_stats, spectral, images, k_log, train=True
+                model, params, batch_stats, spectral, images_c, k_log, train=True
             )
 
         if axis_name is not None:
@@ -372,19 +392,25 @@ def make_train_step(
 
 
 def make_eval_step(
-    model: DGMR, *, axis_name: Optional[str] = None
+    model: DGMR,
+    *,
+    axis_name: Optional[str] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array], Dict[str, jnp.ndarray]]:
     """Validation step (``dgmr.py:220-290``): same math, eval mode, no updates."""
     grid_loss = GridCellLoss(weight_fn=weight_fn, precip_weight_cap=model.precip_weight_cap)
     n_gen = model.generation_steps
 
     def eval_step(state: TrainState, images, future_images, rng):
-        images = images.astype(jnp.float32)
         future_images = future_images.astype(jnp.float32)
+        images_c = images.astype(compute_dtype)
+        images = images.astype(jnp.float32)
         b = images.shape[0]
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        real_seq = jnp.concatenate([images, future_images], axis=1)
+        real_seq = jnp.concatenate(
+            [images, future_images], axis=1
+        ).astype(compute_dtype)
         params, bs, sp = state.params, state.batch_stats, state.spectral
 
         keys = jax.random.split(rng, 4 + 2 * n_gen)
@@ -394,9 +420,9 @@ def make_eval_step(
         d_losses = []
         for i in range(2):
             preds, _, _ = _apply_generator(
-                model, params, bs, sp, images, keys[2 * i], False
+                model, params, bs, sp, images_c, keys[2 * i], False
             )
-            gen_seq = jnp.concatenate([images, preds], axis=1)
+            gen_seq = jnp.concatenate([images_c, preds], axis=1)
             concat_in = jnp.concatenate([real_seq, gen_seq], axis=0)
             scores, _, _ = _apply_discriminator(
                 model, params, bs, sp, concat_in, keys[2 * i + 1], False
@@ -406,23 +432,23 @@ def make_eval_step(
         d_loss = d_losses[-1]
 
         def sample_body(_, key):
-            preds, _, _ = _apply_generator(model, params, bs, sp, images, key, False)
+            preds, _, _ = _apply_generator(model, params, bs, sp, images_c, key, False)
             return None, preds
 
         _, preds = jax.lax.scan(sample_body, None, keys[4 : 4 + n_gen])
-        gen_mean = jnp.mean(preds, axis=0)
+        gen_mean = jnp.mean(preds.astype(jnp.float32), axis=0)
         grid = grid_loss(gen_mean, future_images)
 
         def score_body(_, inp):
             p, k_fr = inp
             concat_in = jnp.concatenate(
-                [real_seq, jnp.concatenate([images, p], axis=1)], axis=0
+                [real_seq, jnp.concatenate([images_c, p], axis=1)], axis=0
             )
             scores, _, _ = _apply_discriminator(model, params, bs, sp, concat_in, k_fr, False)
             return None, scores[b:]
 
         _, gen_scores = jax.lax.scan(score_body, None, (preds, keys[4 + n_gen :]))
-        g_loss = loss_hinge_gen(gen_scores) + model.grid_lambda * grid
+        g_loss = loss_hinge_gen(gen_scores.astype(jnp.float32)) + model.grid_lambda * grid
         metrics = {
             "val/d_loss": d_loss,
             "val/g_loss": g_loss,

@@ -7,7 +7,11 @@ import pytest
 
 from skillful_nowcasting_tpu import DGMR
 from skillful_nowcasting_tpu.hub.pretrained import abstract_variables
-from skillful_nowcasting_tpu.inference import make_generate, tiled_nowcast
+from skillful_nowcasting_tpu.inference import (
+    make_generate,
+    tiled_nowcast,
+    tiled_nowcast_device,
+)
 from skillful_nowcasting_tpu.utils import random_fill_variables
 
 TINY = dict(
@@ -106,6 +110,57 @@ def test_bf16_inference(model_and_vars):
     assert out.dtype == jnp.bfloat16
     assert out.shape == (1, 2, 128, 128, 1)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_tiled_nowcast_device_interior_exact(model_and_vars):
+    """Device-resident tiling: an interior tile's stitched region equals the
+    direct model forward on the corresponding raw crop (no padding influence
+    ≥ overlap/2 from the domain edge), and the output covers the full field.
+
+    Geometry (tile=128, overlap=32 -> margin=16, stride=96, field 256^2,
+    edge-padded to 320^2): the tile at padded offset (96, 96) spans real
+    pixels [80, 208)^2 — entirely real data — and its crop lands at real
+    [96, 192)^2.
+    """
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    frames = rng.random((4, 256, 256, 1)).astype(np.float32)
+    z = jax.random.normal(jax.random.key(3), (1, 4, 4, 8), jnp.float32)
+
+    out = tiled_nowcast_device(
+        model, variables, frames, tile=128, overlap=32, batch_tiles=4, z=z
+    )
+    assert out.shape == (2, 256, 256, 1)
+    assert np.isfinite(out).all()
+
+    crop = jnp.asarray(frames[None, :, 80:208, 80:208, :])
+    direct = np.asarray(model.apply(variables, crop, train=False, z=z))[0]
+    np.testing.assert_allclose(
+        out[:, 96:192, 96:192, :], direct[:, 16:112, 16:112, :], rtol=1e-5, atol=1e-5
+    )
+
+    out2 = tiled_nowcast_device(
+        model, variables, frames, tile=128, overlap=32, batch_tiles=4, z=z
+    )
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_tiled_nowcast_bf16(model_and_vars):
+    """bf16 tile forwards (serving config): f32 stitched output, tracks f32."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(2)
+    frames = rng.random((4, 128, 128, 1)).astype(np.float32)
+    z = jax.random.normal(jax.random.key(3), (1, 4, 4, 8), jnp.float32)
+
+    kwargs = dict(tile=128, overlap=32, batch_tiles=2, z=z)
+    out32 = tiled_nowcast(model, variables, frames, **kwargs)
+    out16 = tiled_nowcast(model, variables, frames, dtype=jnp.bfloat16, **kwargs)
+    assert out16.dtype == np.float32
+    assert out16.shape == out32.shape
+    assert np.isfinite(out16).all()
+    # bf16 has ~3 decimal digits; the rollout compounds — loose tolerance.
+    scale = max(np.abs(out32).max(), 1e-3)
+    assert np.max(np.abs(out16 - out32)) / scale < 0.15
 
 
 def test_tiled_nowcast_validates_args(model_and_vars):

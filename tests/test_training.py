@@ -135,6 +135,40 @@ def test_watch_gradients_metrics(tiny_model, state, tiny_batch):
     np.testing.assert_allclose(g_sum, g_total, rtol=1e-4)
 
 
+def test_train_step_bf16_mixed_precision(tiny_model, state, tiny_batch):
+    """bf16 compute with f32 master params/moments/statistics.
+
+    The model runs in bfloat16 (inputs cast, ops follow input dtype) while
+    everything carried across steps — params, Adam moments, BN stats,
+    spectral u/v — stays float32, so the returned state re-enters the jitted
+    step with an identical signature (no recompile, no dtype drift).
+    """
+    images, future = tiny_batch
+    train_step = jax.jit(
+        make_train_step(tiny_model, logging_forward=False, compute_dtype=jnp.bfloat16)
+    )
+    new_state, metrics = train_step(state, images, future, jax.random.key(7))
+    for k in ("train/d_loss", "train/g_loss", "train/grid_loss"):
+        v = metrics[k]
+        assert v.dtype == jnp.float32, k
+        assert np.isfinite(float(v)), k
+    # Carried state keeps the f32 signature exactly.
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(new_state)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+    # Params moved (the optimizer consumed real bf16-path gradients).
+    delta = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params))
+    )
+    assert delta > 0
+    # Loss values track the f32 step to bf16 resolution (same data, same key).
+    f32_step = jax.jit(make_train_step(tiny_model, logging_forward=False))
+    _, m32 = f32_step(state, images, future, jax.random.key(7))
+    np.testing.assert_allclose(
+        float(metrics["train/grid_loss"]), float(m32["train/grid_loss"]), rtol=0.1
+    )
+
+
 def test_eval_step(tiny_model, state, tiny_batch):
     images, future = tiny_batch
     eval_step = jax.jit(make_eval_step(tiny_model))

@@ -50,6 +50,12 @@ def parse_args():
         help="log per-layer gradient norms (reference wandb.watch, run.py:37-49)",
     )
     p.add_argument(
+        "--compute-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="bfloat16 = mixed precision (f32 master params/moments/BN stats)",
+    )
+    p.add_argument(
         "--resume-lightning",
         default=None,
         metavar="CKPT",
@@ -118,6 +124,9 @@ def main():
         seed=args.seed,
         logging_forward=not args.no_logging_forward,
         watch_gradients=args.watch_gradients,
+        compute_dtype=(
+            jax.numpy.bfloat16 if args.compute_dtype == "bfloat16" else None
+        ),
     )
 
     init_state = None
