@@ -8,6 +8,7 @@ import pytest
 from skillful_nowcasting_tpu import DGMR
 from skillful_nowcasting_tpu.hub.pretrained import abstract_variables
 from skillful_nowcasting_tpu.inference import (
+    evaluate_nowcast,
     make_generate,
     tiled_nowcast,
     tiled_nowcast_device,
@@ -100,6 +101,29 @@ def test_tiled_nowcast_large_field(model_and_vars):
         rng=jax.random.key(5),
     )
     np.testing.assert_array_equal(out, out2)
+
+
+def test_evaluate_nowcast(model_and_vars):
+    """Skill-evaluation loop: finite paper metrics from a batch iterator."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(9)
+
+    def batches():
+        for _ in range(2):
+            yield (
+                rng.random((1, 4, 128, 128, 1)).astype(np.float32),
+                rng.random((1, 2, 128, 128, 1)).astype(np.float32),
+            )
+
+    out = evaluate_nowcast(
+        model, variables, batches(), thresholds=(0.5,), pools=(1, 4), max_batches=2
+    )
+    assert out["batches"] == 2
+    for k in ("crps", "crps_pool4", "csi_0.5", "mse"):
+        assert k in out and np.isfinite(out[k]), k
+    # Pooling shrinks CRPS of noisy fields; CSI is a ratio in [0, 1].
+    assert out["crps_pool4"] < out["crps"]
+    assert 0.0 <= out["csi_0.5"] <= 1.0
 
 
 def test_bf16_inference(model_and_vars):
