@@ -4,7 +4,7 @@ from .crops import random_crop_batches
 from .mrms import MRMSSequences, mrms_tiles, open_zarr
 from .nimrod import DGMRDataModule, NimrodStream, batch_windows
 from .prefetch import prefetch_to_device
-from .synthetic import synthetic_batches
+from .synthetic import synthetic_batches, synthetic_radar_batches
 from .windows import (
     NUM_INPUT_FRAMES,
     NUM_TARGET_FRAMES,
@@ -24,4 +24,5 @@ __all__ = [
     "prefetch_to_device",
     "random_crop_batches",
     "synthetic_batches",
+    "synthetic_radar_batches",
 ]

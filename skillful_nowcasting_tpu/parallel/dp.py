@@ -60,6 +60,18 @@ def make_dp_train_step(
 
     compute_dtype = compute_dtype or jnp.float32
     donate = (0,) if donate_state else ()
+    if mesh.size == 1:
+        # Single-device mesh: the shard_map/pjit wrapper adds nothing but a
+        # (large) distinct program to compile — use the plain jitted step.
+        # Only deliberate delta: the per-replica ``fold_in(rng, axis_index)``
+        # is skipped (axis 0 fold), which is just a different fixed stream.
+        step = make_train_step(
+            model,
+            logging_forward=logging_forward,
+            watch_gradients=watch_gradients,
+            compute_dtype=compute_dtype,
+        )
+        return jax.jit(step, donate_argnums=donate)
     if mode == "pjit":
         step = make_train_step(
             model,
@@ -101,6 +113,8 @@ def make_dp_eval_step(
     import jax.numpy as jnp
 
     compute_dtype = compute_dtype or jnp.float32
+    if mesh.size == 1:
+        return jax.jit(make_eval_step(model, compute_dtype=compute_dtype))
     if mode == "pjit":
         step = make_eval_step(model, compute_dtype=compute_dtype)
         repl = replicated_sharding(mesh)

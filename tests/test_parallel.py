@@ -70,6 +70,28 @@ def test_dp_train_step_runs(setup):
     assert delta > 0
 
 
+def test_dp_single_device_fast_path(setup):
+    """mesh.size == 1 -> plain jitted step (no shard_map/pjit wrapper).
+
+    The single-chip CLI path goes through make_dp_train_step with a 1-device
+    mesh; the fast path must keep the same contract (finite metrics, step
+    increments, params move)."""
+    model, _, images, future, state = setup
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    assert mesh1.size == 1
+    step = make_dp_train_step(model, mesh1, logging_forward=False, donate_state=False)
+    images1, future1 = images[:1], future[:1]
+    new_state, metrics = step(state, images1, future1, jax.random.key(4))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(new_state.step) == 1
+    from skillful_nowcasting_tpu.parallel import make_dp_eval_step
+
+    eval_step = make_dp_eval_step(model, mesh1)
+    m = eval_step(new_state, images1, future1, jax.random.key(5))
+    assert all(np.isfinite(float(v)) for v in m.values())
+
+
 def test_dp_eval_step_runs(setup):
     model, mesh, images, future, state = setup
     eval_step = make_dp_eval_step(model, mesh)

@@ -40,6 +40,12 @@ def parse_args():
         "--synthetic", action="store_true", help="random data instead of nimrod stream"
     )
     p.add_argument(
+        "--synthetic-kind",
+        choices=["noise", "radar"],
+        default="noise",
+        help="noise = i.i.d. uniform; radar = advecting Gaussian rain cells (learnable)",
+    )
+    p.add_argument(
         "--no-logging-forward",
         action="store_true",
         help="drop the reference's unused extra generator forward (quirk Q8)",
@@ -74,7 +80,11 @@ def main():
     import jax
 
     from skillful_nowcasting_tpu import DGMR
-    from skillful_nowcasting_tpu.data import DGMRDataModule, synthetic_batches
+    from skillful_nowcasting_tpu.data import (
+        DGMRDataModule,
+        synthetic_batches,
+        synthetic_radar_batches,
+    )
     from skillful_nowcasting_tpu.parallel import init_distributed, make_mesh
     from skillful_nowcasting_tpu.trainer import Trainer
 
@@ -92,13 +102,14 @@ def main():
     )
 
     if args.synthetic:
-        train_iter = synthetic_batches(
+        gen = synthetic_radar_batches if args.synthetic_kind == "radar" else synthetic_batches
+        train_iter = gen(
             batch_size=args.batch_size,
             target_frames=args.forecast_steps,
             size=args.output_shape,
             seed=args.seed,
         )
-        val_iter = synthetic_batches(
+        val_iter = gen(
             batch_size=args.batch_size,
             target_frames=args.forecast_steps,
             size=args.output_shape,
