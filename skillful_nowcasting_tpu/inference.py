@@ -69,33 +69,24 @@ def make_generate(
     return generate
 
 
-def evaluate_nowcast(
+def make_skill_metrics(
     model,
-    variables,
-    batches,
     *,
     num_samples: Optional[int] = None,
     thresholds=(1.0, 4.0, 8.0),
     pools=(1, 4, 16),
-    rng: Optional[jax.Array] = None,
-    max_batches: Optional[int] = None,
-) -> dict:
-    """Paper-style skill evaluation over a batch iterator.
+) -> Callable:
+    """Jitted per-batch skill evaluation: ``(variables, images, future, key) -> dict``.
 
-    For each ``(images, future_images)`` NTHWC batch, draws an
-    ``num_samples``-member ensemble (one shared latent per member, quirk Q2)
-    and accumulates fair CRPS (grid + ``pools`` average-pool scales,
-    Ravuri et al. 2021 evaluation), CSI at ``thresholds`` (of the ensemble
-    mean), and ensemble-mean MSE.  The per-batch computation is one jitted
-    program; only scalars leave the device.
-
-    Returns a dict of floats: ``crps``, ``crps_pool{p}``, ``csi_{t}``,
-    ``mse``, ``batches``.
+    Draws an ``num_samples``-member ensemble (one shared latent per member,
+    quirk Q2) and computes fair CRPS (grid + ``pools`` average-pool scales,
+    the Ravuri et al. 2021 evaluation), CSI at ``thresholds`` (of the
+    ensemble mean), and ensemble-mean MSE — all on device; only scalars come
+    back.  Build ONCE and reuse (each call of this factory creates a fresh
+    jit cache entry).
     """
     from .metrics import crps_ensemble, csi, ensemble_mean_mse, pooled_crps
 
-    if rng is None:
-        rng = jax.random.key(0)
     generate = make_generate(model, num_samples=num_samples)
     thresholds = tuple(float(t) for t in thresholds)
     pools = tuple(int(p) for p in pools if int(p) > 1)
@@ -115,6 +106,32 @@ def evaluate_nowcast(
             for i, t in enumerate(thresholds):
                 out[f"csi_{t:g}"] = cs[i]
         return out
+
+    return batch_metrics
+
+
+def evaluate_nowcast(
+    model,
+    variables,
+    batches,
+    *,
+    num_samples: Optional[int] = None,
+    thresholds=(1.0, 4.0, 8.0),
+    pools=(1, 4, 16),
+    rng: Optional[jax.Array] = None,
+    max_batches: Optional[int] = None,
+) -> dict:
+    """Paper-style skill evaluation over a batch iterator.
+
+    Runs :func:`make_skill_metrics` on each ``(images, future_images)``
+    NTHWC batch and averages.  Returns a dict of floats: ``crps``,
+    ``crps_pool{p}``, ``csi_{t}``, ``mse``, ``batches``.
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    batch_metrics = make_skill_metrics(
+        model, num_samples=num_samples, thresholds=thresholds, pools=pools
+    )
 
     accum: dict = {}
     n = 0

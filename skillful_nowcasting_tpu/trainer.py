@@ -54,6 +54,7 @@ class Trainer:
         prefetch: int = 2,
         watch_gradients: bool = False,
         compute_dtype=None,
+        val_skill: bool = False,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -89,6 +90,14 @@ class Trainer:
         self.eval_step = make_dp_eval_step(
             model, self.mesh, mode=dp_mode, compute_dtype=compute_dtype
         )
+        # Optional paper skill metrics (CRPS/CSI/MSE) during validation —
+        # beyond the reference's validation_step, which only mirrors the
+        # training losses (dgmr.py:220-290).
+        self.skill_metrics = None
+        if val_skill:
+            from .inference import make_skill_metrics
+
+            self.skill_metrics = make_skill_metrics(model)
         self.logger = MetricsLogger(log_dir, use_wandb=use_wandb)
         # Lightning-style last+best pair (run.py:221-231): `latest/` for
         # resume, `best/` keeping the single best train/g_loss step.
@@ -230,4 +239,15 @@ class Trainer:
             m = self.eval_step(state, images, future, jax.random.fold_in(rng, i))
             for k, v in m.items():
                 accum[k] = accum.get(k, 0.0) + float(v) / self.val_batches
+            if self.skill_metrics is not None:
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "spectral": state.spectral,
+                }
+                sm = self.skill_metrics(
+                    variables, images, future, jax.random.fold_in(rng, 1000 + i)
+                )
+                for k, v in sm.items():
+                    accum[f"val/{k}"] = accum.get(f"val/{k}", 0.0) + float(v) / self.val_batches
         self.logger.log_scalars(accum, step)

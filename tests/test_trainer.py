@@ -98,3 +98,35 @@ def test_trainer_fit_and_resume(tmp_path):
     )
     state2 = trainer2.fit(data())
     assert int(state2.step) == 3
+
+
+def test_trainer_val_skill_metrics(tmp_path):
+    """val_skill=True logs paper skill metrics (CRPS/CSI/MSE) at validation."""
+    model = DGMR(**TINY)
+    logged = {}
+
+    trainer = Trainer(
+        model,
+        max_steps=1,
+        ckpt_dir=None,
+        log_every=0,
+        val_every=1,
+        val_batches=1,
+        seed=0,
+        logging_forward=False,
+        val_skill=True,
+    )
+    orig = trainer.logger.log_scalars
+    trainer.logger.log_scalars = lambda scalars, step: (
+        logged.update(scalars), orig(scalars, step)
+    )
+
+    def data():
+        return synthetic_batches(batch_size=8, target_frames=2, size=128, seed=3)
+
+    trainer.fit(data(), val_iter=data())
+    import numpy as np
+
+    for key in ("val/crps", "val/mse", "val/csi_1", "val/crps_pool4"):
+        assert key in logged and np.isfinite(logged[key]), (key, sorted(logged))
+    assert "val/d_loss" in logged

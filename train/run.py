@@ -56,6 +56,11 @@ def parse_args():
         help="log per-layer gradient norms (reference wandb.watch, run.py:37-49)",
     )
     p.add_argument(
+        "--val-skill",
+        action="store_true",
+        help="log CRPS/CSI/MSE skill metrics at each validation (metrics.py)",
+    )
+    p.add_argument(
         "--compute-dtype",
         choices=["float32", "bfloat16"],
         default="float32",
@@ -135,6 +140,7 @@ def main():
         seed=args.seed,
         logging_forward=not args.no_logging_forward,
         watch_gradients=args.watch_gradients,
+        val_skill=args.val_skill,
         compute_dtype=(
             jax.numpy.bfloat16 if args.compute_dtype == "bfloat16" else None
         ),
