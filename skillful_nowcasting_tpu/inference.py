@@ -170,6 +170,7 @@ def tiled_nowcast_device(
     rng: Optional[jax.Array] = None,
     z: Optional[jnp.ndarray] = None,
     dtype: Optional[jnp.dtype] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Device-resident giant-tile nowcast: ONE jitted program, ONE output fetch.
 
@@ -180,8 +181,15 @@ def tiled_nowcast_device(
     ``dynamic_slice`` on device, forwarded batch-by-batch under ``lax.scan``,
     and their interiors scattered into an HBM-resident output buffer; only
     the stitched field is fetched.  Requires the padded input + output to fit
-    HBM (e.g. MRMS 3500x7000, 18 steps: ~2.4 GB in f32 — comfortable on one
-    chip); use :func:`tiled_nowcast` for fields beyond HBM or over a mesh.
+    HBM per device (e.g. MRMS 3500x7000, 18 steps: ~2.4 GB in f32 —
+    comfortable on one chip); use :func:`tiled_nowcast` for fields beyond HBM.
+
+    ``mesh``: with a ``jax.sharding.Mesh`` the tile batches shard over the
+    ``"data"`` axis (``shard_map``): every device holds the replicated field
+    and its own output buffer, processes ``1/n``-th of the tile batches
+    (``batch_tiles`` tiles per device per step), and the disjoint interior
+    scatters are combined with ONE ``psum`` over ICI at the end — multi-chip
+    CONUS nowcasts keep the single-fetch property.
 
     Boundary semantics differ slightly from :func:`tiled_nowcast`: the domain
     is edge-padded by ``overlap/2`` so EVERY tile (edge tiles included) crops
@@ -219,19 +227,33 @@ def tiled_nowcast_device(
     pads = ((0, 0), (margin, hp - h - margin), (margin, wp - w - margin), (0, 0))
     field = jnp.asarray(np.pad(frames, pads, mode="edge"), dtype)
 
+    n_ranks = int(mesh.shape["data"]) if mesh is not None else 1
     hs = list(range(0, hp - tile + 1, stride))
     ws = list(range(0, wp - tile + 1, stride))
     positions = np.array([(i, j) for i in hs for j in ws], np.int32)
-    pad_n = -len(positions) % batch_tiles
-    if pad_n:  # repeat positions: later identical writes are harmless
-        positions = np.concatenate([positions, positions[:pad_n]])
-    positions = positions.reshape(-1, batch_tiles, 2)  # (n_batches, B, 2)
+    pad_n = -len(positions) % (n_ranks * batch_tiles)
+    if pad_n:  # sentinel (-1, -1) rows are masked out of the scatter
+        positions = np.concatenate([positions, np.full((pad_n, 2), -1, np.int32)])
+    # Contiguous batch blocks per rank: (n_ranks, n_batches, B, 2).
+    positions = positions.reshape(n_ranks, -1, batch_tiles, 2)
     inner = tile - 2 * margin
 
-    def run(field, variables, z, positions, t_out):
+    # t_out from the model config (DGMR/Generator expose forecast_steps).
+    t_out = getattr(model, "forecast_steps", None)
+    if t_out is None:
+        probe = model.apply(
+            variables,
+            jnp.zeros((1, t_in, tile, tile, c), dtype),
+            train=False,
+            z=z,
+        )
+        t_out = probe.shape[1]
+    t_out = int(t_out)
+
+    def run_body(field, variables, z, positions):
         # NB: `field` must be an argument (not a closure capture) — captured
         # arrays become HLO constants and blow the remote-compile size limit.
-        def gather(pos):  # (2,) -> (T_in, tile, tile, C)
+        def gather(pos):  # (2,) -> (T_in, tile, tile, C); clamped for sentinels
             return jax.lax.dynamic_slice(
                 field, (0, pos[0], pos[1], 0), (t_in, tile, tile, c)
             )
@@ -245,33 +267,43 @@ def tiled_nowcast_device(
             interior = preds[:, :, margin : margin + inner, margin : margin + inner, :]
 
             def scatter(k, out):
-                return jax.lax.dynamic_update_slice(
-                    out,
-                    interior[k],
-                    (0, pos_b[k, 0] + margin, pos_b[k, 1] + margin, 0),
-                )
+                # Sentinel rows re-write the current contents (a no-op): under
+                # the mesh psum a duplicated real write would double-count, so
+                # padding positions must not contribute.
+                idx = (0, pos_b[k, 0] + margin, pos_b[k, 1] + margin, 0)
+                cur = jax.lax.dynamic_slice(out, idx, interior.shape[1:])
+                upd = jnp.where(pos_b[k, 0] >= 0, interior[k], cur)
+                return jax.lax.dynamic_update_slice(out, upd, idx)
 
             return jax.lax.fori_loop(0, batch_tiles, scatter, out), None
 
         out, _ = jax.lax.scan(batch_body, out0, positions)
         return out
 
-    # t_out from the model config (DGMR/Generator expose forecast_steps).
-    t_out = getattr(model, "forecast_steps", None)
-    if t_out is None:
-        probe = model.apply(
-            variables,
-            jnp.zeros((1, t_in, tile, tile, c), dtype),
-            train=False,
-            z=z,
-        )
-        t_out = probe.shape[1]
+    if mesh is None:
+        run_jit = jax.jit(lambda f, v, zz, p: run_body(f, v, zz, p[0]))
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
 
-    run_jit = jax.jit(run, static_argnums=(4,))
-    out = np.asarray(
-        run_jit(field, variables, z, jnp.asarray(positions), int(t_out)),
-        np.float32,
-    )
+        def run_sharded(field, variables, z, positions):
+            # Per-rank block of positions: (1, n_batches, B, 2).  Disjoint
+            # interiors over zero-initialized buffers -> one psum stitches
+            # all ranks' contributions over ICI.
+            out = run_body(field, variables, z, positions[0])
+            return jax.lax.psum(out, "data")
+
+        run_jit = jax.jit(
+            shard_map(
+                run_sharded,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P("data")),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+
+    out = np.asarray(run_jit(field, variables, z, jnp.asarray(positions)), np.float32)
     return out[:, margin : margin + h, margin : margin + w, :]
 
 

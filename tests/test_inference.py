@@ -169,6 +169,26 @@ def test_tiled_nowcast_device_interior_exact(model_and_vars):
     np.testing.assert_array_equal(out, out2)
 
 
+def test_tiled_nowcast_device_mesh_exact(model_and_vars):
+    """Mesh-sharded device tiling == single-device device tiling, exactly.
+
+    Tiles shard over the 8-rank data axis; the disjoint interior scatters
+    are combined with one psum, so the stitched field must be bit-identical
+    to the 1-device run (0 + x is exact)."""
+    from skillful_nowcasting_tpu.parallel import make_mesh
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(11)
+    frames = rng.random((4, 256, 256, 1)).astype(np.float32)
+    z = jax.random.normal(jax.random.key(3), (1, 4, 4, 8), jnp.float32)
+
+    kwargs = dict(tile=128, overlap=32, batch_tiles=2, z=z)
+    single = tiled_nowcast_device(model, variables, frames, **kwargs)
+    mesh = make_mesh(n_data=8)
+    sharded = tiled_nowcast_device(model, variables, frames, mesh=mesh, **kwargs)
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_tiled_nowcast_bf16(model_and_vars):
     """bf16 tile forwards (serving config): f32 stitched output, tracks f32."""
     model, variables = model_and_vars
