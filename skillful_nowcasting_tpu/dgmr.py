@@ -106,8 +106,13 @@ class DGMR(nn.Module, HubMixin):
         z: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Generator forward (``dgmr.py:132-135``): one nowcast sample."""
-        conditioning_states = self.conditioning_stack(x, train=train)
-        latent_dim = self.latent_stack(x, z=z, train=train)
+        from .remat_names import tag as _name
+
+        conditioning_states = tuple(
+            _name(s, "conditioning_state")
+            for s in self.conditioning_stack(x, train=train)
+        )
+        latent_dim = _name(self.latent_stack(x, z=z, train=train), "latent_dim")
         return self.sampler(conditioning_states, latent_dim, train=train)
 
     def generate_ensemble(

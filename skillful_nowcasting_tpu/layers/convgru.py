@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ..ops import initializers as tinit
 from ..ops import spectral_norm as sn
+from ..remat_names import tag as _remat_tag
 
 
 class _SNConvParams(nn.Module):
@@ -249,7 +250,15 @@ class ConvGRU(nn.Module):
                     (gc + _conv2d(read * h, kc_h)) / sig_c.astype(dtype) + bc_c
                 )
                 out = update * h + (1.0 - update) * c
-                return (out, (ur, vr), (uu, vu), (uc, vc)), out
+                # save_names remat policy (remat_names.py): with the carry
+                # chain saved per step, the sequential scan forward is pruned
+                # from the rollout's backward recompute entirely.
+                out = _remat_tag(out, "convgru_carry")
+                uvs = tuple(
+                    tuple(_remat_tag(w, "convgru_uv") for w in uv)
+                    for uv in ((ur, vr), (uu, vu), (uc, vc))
+                )
+                return (out,) + uvs, out
 
             carry0 = (hidden_state, uv_r.value, uv_u.value, uv_c.value)
             (h_f, uvr_f, uvu_f, uvc_f), outputs = jax.lax.scan(

@@ -32,6 +32,8 @@ from ..layers.convgru import ConvGRU
 from ..ops import Conv, TorchBatchNorm, depth_to_space
 from .common import GBlock, UpsampleGBlock
 
+from ..remat_names import tag as _name  # noqa: E402 — save_names remat tags
+
 
 class Sampler(nn.Module, HubMixin):
     """Recurrent decoder from conditioning states + latent (``generators.py:20-182``).
@@ -126,6 +128,15 @@ class Sampler(nn.Module, HubMixin):
                 )
             else:
                 out = gru(h_seq, init_state, update_stats=train)
+            # Saveable under the "save_names" remat policy: with the GRU
+            # output sequences kept, the post conv towers' forward is pruned
+            # from the rollout's backward recompute (their backward
+            # rematerializes chunk bodies from these saved inputs).  Saving
+            # the per-step carries INSIDE the scan ("convgru_carry") instead
+            # measured SLOWER (0.253 vs 0.262 steps/s, B=16 bf16): the extra
+            # ~1.3 GB of saved stacks costs more HBM traffic than the pruned
+            # GRU re-run saves.
+            out = _name(out, "sampler_gru_seq")
 
             def post(mdl, xc):
                 # Modules are created inside the (possibly lifted) body so
@@ -145,10 +156,16 @@ class Sampler(nn.Module, HubMixin):
             return chunked(post, out)
 
         # Level order: smallest scale first (quirk Q6) — conditioning state 4
-        # feeds the first GRU (``generators.py:152``).
+        # feeds the first GRU (``generators.py:152``).  Inter-level outputs
+        # (the next GRU's input sequence) are save_names-saveable; the last
+        # level's (largest, 4x the others combined) is deliberately NOT — the
+        # output head is cheap to rematerialize.
         h = level(latent_dim, init_states[3], "convGRU1", "gru_conv_1x1", "g1", "up_g1", 0)
+        h = _name(h, "sampler_level_seq")
         h = level(h, init_states[2], "convGRU2", "gru_conv_1x1_2", "g2", "up_g2", 1)
+        h = _name(h, "sampler_level_seq")
         h = level(h, init_states[1], "convGRU3", "gru_conv_1x1_3", "g3", "up_g3", 2)
+        h = _name(h, "sampler_level_seq")
         h = level(h, init_states[0], "convGRU4", "gru_conv_1x1_4", "g4", "up_g4", 3)
 
         # Output head, per timestep (``generators.py:176-178``).

@@ -13,9 +13,13 @@ is one XLA program either way; collectives ride ICI (DCN across slices).
 
 ``mode="pjit"`` — global-batch semantics:
     batch sharded, params replicated, XLA's GSPMD partitions the program.
-    Bitwise-identical to the single-chip step on the global batch (sync-BN,
-    one shared latent per step) but the partitioner is 10-20x slower to
-    compile on this program.
+    Numerically the single-chip step on the global batch (sync-BN, one
+    shared latent per step) but the partitioner is 10-20x slower to compile
+    on this program.  Test status: the pjit EVAL step is equivalence-tested
+    against the single-device step on every suite run
+    (``tests/test_parallel.py``); the pjit TRAIN step's GSPMD compile takes
+    tens of minutes on the 8-virtual-CPU-device mesh, so its equivalence
+    test is gated behind ``RUN_PJIT_TRAIN_TEST=1``.
 """
 
 from __future__ import annotations
@@ -48,13 +52,17 @@ def make_dp_train_step(
     mode: str = "shard_map",
     watch_gradients: bool = False,
     compute_dtype=None,
+    return_grads: bool = False,
+    rollout_remat: bool = True,
+    optimizers=None,
 ):
     """Jit the GAN train step with DP shardings over ``mesh``.
 
     Returned signature matches the single-chip step:
     ``(state, images, future_images, rng) -> (state, metrics)`` with
     globally-shaped batches (shard with :func:`shard_batch` or pass arrays
-    already laid out on the mesh).
+    already laid out on the mesh).  ``return_grads`` adds the (pmean-ed) raw
+    gradient trees to the metrics (equivalence tests).
     """
     import jax.numpy as jnp
 
@@ -70,6 +78,9 @@ def make_dp_train_step(
             logging_forward=logging_forward,
             watch_gradients=watch_gradients,
             compute_dtype=compute_dtype,
+            return_grads=return_grads,
+            rollout_remat=rollout_remat,
+            optimizers=optimizers,
         )
         return jax.jit(step, donate_argnums=donate)
     if mode == "pjit":
@@ -78,6 +89,9 @@ def make_dp_train_step(
             logging_forward=logging_forward,
             watch_gradients=watch_gradients,
             compute_dtype=compute_dtype,
+            return_grads=return_grads,
+            rollout_remat=rollout_remat,
+            optimizers=optimizers,
         )
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
@@ -96,6 +110,9 @@ def make_dp_train_step(
         axis_name=AXIS,
         watch_gradients=watch_gradients,
         compute_dtype=compute_dtype,
+        return_grads=return_grads,
+        rollout_remat=rollout_remat,
+        optimizers=optimizers,
     )
     mapped = shard_map(
         step,

@@ -55,6 +55,7 @@ class Trainer:
         watch_gradients: bool = False,
         compute_dtype=None,
         val_skill: bool = False,
+        rollout_remat: bool = True,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -86,6 +87,9 @@ class Trainer:
             # bf16 mixed precision (f32 master params/moments/stats); the
             # reference trains precision-32 (run.py:227-234), so f32 default.
             compute_dtype=compute_dtype,
+            # Outer per-rollout remat (reference checkpoint parity); False
+            # trades HBM for ~one fewer rollout recompute per sample.
+            rollout_remat=rollout_remat,
         )
         self.eval_step = make_dp_eval_step(
             model, self.mesh, mode=dp_mode, compute_dtype=compute_dtype
@@ -236,9 +240,7 @@ class Trainer:
         for i in range(self.val_batches):
             images, future = next(val_iter)
             images, future = shard_batch((images, future), self.mesh)
-            m = self.eval_step(state, images, future, jax.random.fold_in(rng, i))
-            for k, v in m.items():
-                accum[k] = accum.get(k, 0.0) + float(v) / self.val_batches
+            m = dict(self.eval_step(state, images, future, jax.random.fold_in(rng, i)))
             if self.skill_metrics is not None:
                 variables = {
                     "params": state.params,
@@ -248,6 +250,10 @@ class Trainer:
                 sm = self.skill_metrics(
                     variables, images, future, jax.random.fold_in(rng, 1000 + i)
                 )
-                for k, v in sm.items():
-                    accum[f"val/{k}"] = accum.get(f"val/{k}", 0.0) + float(v) / self.val_batches
+                m.update({f"val/{k}": v for k, v in sm.items()})
+            # ONE host fetch per batch: per-metric float() would be a blocking
+            # tunnel round-trip each (CLAUDE.md environment gotchas).
+            host = jax.device_get(m)
+            for k, v in host.items():
+                accum[k] = accum.get(k, 0.0) + float(v) / self.val_batches
         self.logger.log_scalars(accum, step)

@@ -41,6 +41,7 @@ from flax import struct
 
 from .dgmr import DGMR
 from .losses import GridCellLoss, loss_hinge_disc, loss_hinge_gen, weight_fn
+from . import remat_names as _remat_names
 
 
 class TrainState(struct.PyTreeNode):
@@ -184,6 +185,24 @@ def _layer_grad_norms(grads: Mapping[str, Any], prefix: str, depth: int = 2) -> 
     return out
 
 
+def desaturate_discriminator(params: Mapping[str, Any], factor: float = 0.01) -> Dict[str, Any]:
+    """Shrink both D heads' final BatchNorm scale so hinge terms are active.
+
+    At random init the hinge loss can saturate (real scores ≥ 1 and generated
+    ≤ −1 ⇒ both ``relu`` terms — and every D gradient — exactly zero), which
+    makes "D gradients are finite" assertions vacuous.  Scaling the
+    pre-classifier BatchNorm ``scale`` pulls scores into (−1, 1), where both
+    hinge branches are active and gradients flow through the full D tower.
+    Used by the multichip dryrun and the DP-equivalence tests so a dead
+    discriminator path (e.g. a misplaced ``stop_gradient``) cannot pass.
+    """
+    params = jax.tree.map(lambda x: x, params)  # rebuild dicts, keep leaves
+    for head in ("spatial_discriminator", "temporal_discriminator"):
+        bn = params["discriminator"][head]["bn"]
+        bn["scale"] = bn["scale"] * factor
+    return params
+
+
 def make_train_step(
     model: DGMR,
     *,
@@ -191,6 +210,9 @@ def make_train_step(
     axis_name: Optional[str] = None,
     watch_gradients: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
+    return_grads: bool = False,
+    rollout_remat: bool = True,
+    optimizers: Optional[Tuple[optax.GradientTransformation, optax.GradientTransformation]] = None,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the single-step training function (jit / pjit it at the call site).
 
@@ -217,7 +239,11 @@ def make_train_step(
     (``/root/reference/train/run.py:227-234``); bf16 is this framework's
     TPU-serving configuration, off by default.
     """
-    g_tx, d_tx = make_optimizers(model)
+    # ``optimizers`` override: the DP numerical-equivalence tests swap the
+    # model's Adam pair for SGD — Adam with beta1=0 at step 1 is
+    # ~lr*sign(g), which amplifies low-bit cross-execution-path differences
+    # into O(lr) parameter divergence (chaotic for equivalence checks).
+    g_tx, d_tx = optimizers if optimizers is not None else make_optimizers(model)
     grid_loss = GridCellLoss(weight_fn=weight_fn, precip_weight_cap=model.precip_weight_cap)
     n_disc_steps = 2
     n_gen = model.generation_steps
@@ -283,13 +309,18 @@ def make_train_step(
                 if watch_gradients
                 else {}
             )
-            return (d_p, d_opt, bs, sp), (loss, optax.global_norm(d_grads), layer_norms)
+            out = (loss, optax.global_norm(d_grads), layer_norms)
+            if return_grads:
+                out = out + (d_grads,)
+            return (d_p, d_opt, bs, sp), out
 
-        (d_params, d_opt_state, batch_stats, spectral), (d_losses, d_gnorms, d_layer_norms) = jax.lax.scan(
+        (d_params, d_opt_state, batch_stats, spectral), d_outs = jax.lax.scan(
             d_phase,
             (d_params, d_opt_state, batch_stats, spectral),
             (d_lat, d_fr),
         )
+        d_losses, d_gnorms, d_layer_norms = d_outs[:3]
+        d_grads_stacked = d_outs[3] if return_grads else None
         d_loss = d_losses[-1]  # reference logs the last D step's loss
         params = merge_params(g_params, d_params)
 
@@ -299,11 +330,32 @@ def make_train_step(
         # ------------------------------------------------------------------
         g_params, d_params = split_params(params)
 
-        @partial(jax.checkpoint, prevent_cse=False)
         def gen_rollout(g_p, bs, sp, key):
             return _apply_generator(
                 model, merge_params(g_p, d_params), bs, sp, images_c, key, train=True
             )
+
+        # Outer per-rollout remat, mirroring the reference's
+        # torch.utils.checkpoint around each full rollout (``dgmr.py:150,176``):
+        # * True/"full": save only rollout in/outputs — lowest memory, the
+        #   backward recomputes each rollout's forward (paper-config B=16
+        #   fits one chip only because of this, round 2);
+        # * "save_names": jax.checkpoint with save_only_these_names keeping
+        #   the GRU sequences / inter-level outputs / context states (tagged
+        #   in models.generators) — the recompute prunes the post conv
+        #   towers' forward, trading ~2.5 GB (B=16 bf16) for speed;
+        # * False: no outer remat — residuals at the Sampler's inner chunk
+        #   boundaries only; needs ~34 GB at paper config B=16 (measured,
+        #   does not fit a 16 GB chip — usable at small batch/config).
+        if rollout_remat == "save_names":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                *_remat_names.SAVE_NAMES
+            )
+            gen_rollout = partial(jax.checkpoint, prevent_cse=False, policy=policy)(
+                gen_rollout
+            )
+        elif rollout_remat:
+            gen_rollout = partial(jax.checkpoint, prevent_cse=False)(gen_rollout)
 
         def g_loss_fn(g_p, bs, sp):
             # One scan over the 6 samples: each iteration rolls out ONE
@@ -384,9 +436,29 @@ def make_train_step(
         if watch_gradients:
             metrics.update(_layer_grad_norms(g_grads, "train/grad_norm/"))
             metrics.update({k: v[-1] for k, v in d_layer_norms.items()})
+        if return_grads:
+            # Test/diagnostic hook: the (pmean-ed) raw gradient trees — the
+            # DP-equivalence tests compare these against an independent
+            # reference computation (tests/test_parallel.py).
+            metrics["g_grads"] = g_grads
+            metrics["d_grads"] = d_grads_stacked
         if model.visualize and generated_images is not None:
             metrics["train/generated_images"] = generated_images
         return new_state, metrics
+
+    if rollout_remat == "save_names":
+        # The checkpoint_name tags are gated behind a trace-time flag so the
+        # DEFAULT step's jaxpr stays byte-identical (names are computationally
+        # inert but would change every compile-cache key).  The flag is set
+        # for the duration of this step's trace only.
+        def train_step_named(*args):
+            _remat_names.ENABLED = True
+            try:
+                return train_step(*args)
+            finally:
+                _remat_names.ENABLED = False
+
+        return train_step_named
 
     return train_step
 

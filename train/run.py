@@ -67,6 +67,18 @@ def parse_args():
         help="bfloat16 = mixed precision (f32 master params/moments/BN stats)",
     )
     p.add_argument(
+        "--remat",
+        choices=["rollout", "save_names", "none"],
+        default="rollout",
+        help=(
+            "backward-recompute policy: 'rollout' = full per-rollout remat "
+            "(reference-equivalent memory floor), 'save_names' = keep GRU "
+            "level sequences + conditioning-stack outputs (measured +4%% "
+            "steps/s at paper-config B=16 bf16), 'none' = no outer remat "
+            "(needs ~35 GB HBM at paper config; small configs only)"
+        ),
+    )
+    p.add_argument(
         "--resume-lightning",
         default=None,
         metavar="CKPT",
@@ -134,7 +146,9 @@ def main():
         ckpt_every=args.ckpt_every,
         val_every=args.val_every,
         log_every=args.log_every,
-        log_dir=args.log_dir,
+        # "none"/"" -> stderr scalar lines instead of TensorBoard event files
+        # (parseable logs for long headless runs).
+        log_dir=None if args.log_dir in ("", "none") else args.log_dir,
         use_wandb=args.wandb,
         mesh=mesh,
         seed=args.seed,
@@ -144,6 +158,9 @@ def main():
         compute_dtype=(
             jax.numpy.bfloat16 if args.compute_dtype == "bfloat16" else None
         ),
+        rollout_remat={"rollout": True, "save_names": "save_names", "none": False}[
+            args.remat
+        ],
     )
 
     init_state = None
