@@ -37,6 +37,11 @@ def main() -> None:
     p.add_argument("--batch-tiles", type=int, default=16)
     p.add_argument("--bf16", action="store_true", help="bfloat16 tile forwards")
     p.add_argument(
+        "--stripes", type=int, default=1,
+        help="fetch stripes for the device path (D2H of stripe k overlaps "
+        "compute of stripe k+1)",
+    )
+    p.add_argument(
         "--host",
         action="store_true",
         help="host-streaming tiled_nowcast (default: device-resident, one fetch)",
@@ -74,6 +79,8 @@ def main() -> None:
         rng=jax.random.key(1),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
+    if not args.host:
+        kwargs["fetch_stripes"] = args.stripes
     fn = tiled_nowcast if args.host else tiled_nowcast_device
 
     # Warm compile at the FULL field size (the tile-scan length and output
@@ -94,7 +101,7 @@ def main() -> None:
     n_tiles = (len(range(0, max(h - args.tile, 0), stride)) + 1) * (
         len(range(0, max(w - args.tile, 0), stride)) + 1
     )
-    mode = "device" if not args.host else "host"
+    mode = f"device-s{args.stripes}" if not args.host else "host"
     print(
         f"[tiled-{mode} {'bf16' if args.bf16 else 'f32'}] {h}x{w} {t_out}-step nowcast: "
         f"{dt:.1f}s end-to-end ({n_tiles} tiles) -> "

@@ -32,7 +32,11 @@ import numpy as np
 
 
 def make_generate(
-    model, *, num_samples: Optional[int] = None, shared_context: bool = True
+    model,
+    *,
+    num_samples: Optional[int] = None,
+    shared_context: bool = True,
+    microbatch: Optional[int] = 16,
 ) -> Callable:
     """Jitted ensemble generation: ``(variables, x, rng) -> (S, B, T, H, W, C)``.
 
@@ -41,30 +45,69 @@ def make_generate(
     (``generate_ensemble``) — identical outputs, one context pass instead of
     S.  Set ``False`` for the literal S-independent-forwards formulation
     (lower peak memory at large ``S * B``).
+
+    ``microbatch`` caps the TOTAL conv-batch elements processed per forward
+    (``S * b_chunk`` on the shared-context ensemble path, ``b_chunk`` on
+    the per-sample scan path): larger batches are split into equal chunks
+    (the largest divisor of ``B`` that fits) chained under ``lax.scan``
+    INSIDE the jit.  Outputs are identical
+    to the unchunked forward — eval batch elements are independent, and
+    every chunk reuses the same latent key stream, so each sample's single
+    latent stays shared across the whole batch (quirk Q2).  Motivation:
+    per-chip inference throughput cliffs past B=16 (measured bf16 paper
+    config: 2841 f/s at B=16 vs 1811 unchunked at B=32 — activation working
+    set spills the ~16 GB HBM); chunking keeps every chunk at the measured
+    sweet spot (B=32 -> 2679, B=48 -> 2733 f/s, within ~6% of the B=16
+    rate).  ``None`` disables chunking.
     """
     n = num_samples if num_samples is not None else getattr(model, "num_samples", 6)
+    use_ensemble = shared_context and hasattr(type(model), "generate_ensemble")
 
-    if shared_context and hasattr(type(model), "generate_ensemble"):
+    # The ensemble path batches all S samples through the convs at once, so
+    # the spill-relevant width is S*b, not b: cap the per-chunk batch at
+    # microbatch TOTAL elements either way.  (S=6, B=16 at 256^2 is a 10.5 GB
+    # single activation without this — OOMs next to a resident train state.)
+    cap = (
+        None
+        if microbatch is None
+        else (max(1, int(microbatch) // n) if use_ensemble else int(microbatch))
+    )
 
-        @jax.jit
-        def generate(variables, x, rng):
+    def chunk_size(b: int) -> int:
+        if cap is None or b <= cap:
+            return b
+        for d in range(cap, 0, -1):
+            if b % d == 0:
+                return d
+        return b
+
+    def one_chunk(variables, x, rng):
+        if use_ensemble:
             return model.apply(
-                variables,
-                x,
-                n,
-                rngs={"latent": rng},
-                method=type(model).generate_ensemble,
+                variables, x, n, rngs={"latent": rng}, method=type(model).generate_ensemble
             )
 
-        return generate
-
-    @jax.jit
-    def generate(variables, x, rng):
         def body(_, key):
             return None, model.apply(variables, x, train=False, rngs={"latent": key})
 
         _, samples = jax.lax.scan(body, None, jax.random.split(rng, n))
         return samples
+
+    @jax.jit
+    def generate(variables, x, rng):
+        b = x.shape[0]
+        mb = chunk_size(b)
+        if mb >= b:
+            return one_chunk(variables, x, rng)
+        chunks = x.reshape(b // mb, mb, *x.shape[1:])
+
+        def body(_, xc):
+            # Same rng for every chunk: sample s's latent is one draw shared
+            # by the full batch, exactly as in the unchunked forward.
+            return None, one_chunk(variables, xc, rng)
+
+        _, out = jax.lax.scan(body, None, chunks)  # (k, S, mb, ...)
+        return jnp.moveaxis(out, 0, 1).reshape(n, b, *out.shape[3:])
 
     return generate
 
@@ -75,6 +118,7 @@ def make_skill_metrics(
     num_samples: Optional[int] = None,
     thresholds=(1.0, 4.0, 8.0),
     pools=(1, 4, 16),
+    return_counts: bool = False,
 ) -> Callable:
     """Jitted per-batch skill evaluation: ``(variables, images, future, key) -> dict``.
 
@@ -84,8 +128,14 @@ def make_skill_metrics(
     ensemble mean), and ensemble-mean MSE — all on device; only scalars come
     back.  Build ONCE and reuse (each call of this factory creates a fresh
     jit cache entry).
+
+    ``return_counts=True`` additionally returns the raw contingency counts
+    ``csi_counts`` of shape ``(n_thresholds, 3)`` (hits, misses, false
+    alarms) so callers can pool counts across batches and compute the
+    dataset-level CSI once (the paper's aggregation —
+    :func:`evaluate_nowcast` does this).
     """
-    from .metrics import crps_ensemble, csi, ensemble_mean_mse, pooled_crps
+    from .metrics import crps_ensemble, csi, csi_counts, ensemble_mean_mse, pooled_crps
 
     generate = make_generate(model, num_samples=num_samples)
     thresholds = tuple(float(t) for t in thresholds)
@@ -105,6 +155,8 @@ def make_skill_metrics(
             cs = csi(mean, future, list(thresholds))
             for i, t in enumerate(thresholds):
                 out[f"csi_{t:g}"] = cs[i]
+            if return_counts:
+                out["csi_counts"] = csi_counts(mean, future, list(thresholds))
         return out
 
     return batch_metrics
@@ -124,16 +176,25 @@ def evaluate_nowcast(
     """Paper-style skill evaluation over a batch iterator.
 
     Runs :func:`make_skill_metrics` on each ``(images, future_images)``
-    NTHWC batch and averages.  Returns a dict of floats: ``crps``,
-    ``crps_pool{p}``, ``csi_{t}``, ``mse``, ``batches``.
+    NTHWC batch.  Point metrics (CRPS/MSE) are averaged per batch; CSI is
+    computed ONCE from contingency counts pooled over the whole dataset
+    (averaging per-batch CSI ratios biases the score — batches with no
+    events at a threshold would contribute 0).  Returns a dict of floats:
+    ``crps``, ``crps_pool{p}``, ``csi_{t}``, ``mse``, ``batches``.
     """
     if rng is None:
         rng = jax.random.key(0)
+    thresholds = tuple(float(t) for t in thresholds)
     batch_metrics = make_skill_metrics(
-        model, num_samples=num_samples, thresholds=thresholds, pools=pools
+        model,
+        num_samples=num_samples,
+        thresholds=thresholds,
+        pools=pools,
+        return_counts=bool(thresholds),
     )
 
     accum: dict = {}
+    counts = None
     n = 0
     for images, future in batches:
         if max_batches is not None and n >= max_batches:
@@ -142,10 +203,17 @@ def evaluate_nowcast(
         m = jax.device_get(
             batch_metrics(variables, jnp.asarray(images), jnp.asarray(future), key)
         )
+        c = m.pop("csi_counts", None)
+        if c is not None:
+            counts = c if counts is None else counts + c
         for k, v in m.items():
-            accum[k] = accum.get(k, 0.0) + float(v)
+            if not k.startswith("csi_"):
+                accum[k] = accum.get(k, 0.0) + float(v)
         n += 1
     out = {k: v / max(n, 1) for k, v in accum.items()}
+    if counts is not None:
+        for i, t in enumerate(thresholds):
+            out[f"csi_{t:g}"] = float(counts[i, 0] / max(counts[i].sum(), 1e-12))
     out["batches"] = n
     return out
 
@@ -171,6 +239,7 @@ def tiled_nowcast_device(
     z: Optional[jnp.ndarray] = None,
     dtype: Optional[jnp.dtype] = None,
     mesh=None,
+    fetch_stripes: int = 1,
 ) -> np.ndarray:
     """Device-resident giant-tile nowcast: ONE jitted program, ONE output fetch.
 
@@ -200,6 +269,14 @@ def tiled_nowcast_device(
 
     All tiles share one latent draw (quirk Q2 extended to the domain), like
     :func:`tiled_nowcast`.
+
+    ``fetch_stripes`` > 1 splits the stitched output into that many
+    horizontal stripes computed by SEPARATE dispatches of one shared
+    compiled program: all stripes are enqueued asynchronously up front, so
+    fetching stripe ``k`` (D2H through the tunnel) overlaps stripe
+    ``k+1``'s compute.  Bit-identical to the single-fetch result (each
+    interior pixel is written by exactly one tile either way); requested
+    values are rounded down to a divisor of the tile-row count.
     """
     if overlap % 2 or tile % 32:
         raise ValueError("overlap must be even and tile a multiple of 32")
@@ -230,13 +307,28 @@ def tiled_nowcast_device(
     n_ranks = int(mesh.shape["data"]) if mesh is not None else 1
     hs = list(range(0, hp - tile + 1, stride))
     ws = list(range(0, wp - tile + 1, stride))
-    positions = np.array([(i, j) for i in hs for j in ws], np.int32)
-    pad_n = -len(positions) % (n_ranks * batch_tiles)
-    if pad_n:  # sentinel (-1, -1) rows are masked out of the scatter
-        positions = np.concatenate([positions, np.full((pad_n, 2), -1, np.int32)])
-    # Contiguous batch blocks per rank: (n_ranks, n_batches, B, 2).
-    positions = positions.reshape(n_ranks, -1, batch_tiles, 2)
     inner = tile - 2 * margin
+
+    # Stripe split: contiguous groups of tile rows, equal-sized so every
+    # stripe reuses ONE compiled program.  Round down to a divisor of the
+    # row count.
+    n_stripes = max(1, min(int(fetch_stripes), len(hs)))
+    while len(hs) % n_stripes:
+        n_stripes -= 1
+    rows_per_stripe = len(hs) // n_stripes
+    stripe_h = (rows_per_stripe - 1) * stride + inner
+
+    stripe_positions = []
+    stripe_origins = []
+    for s in range(n_stripes):
+        rows = hs[s * rows_per_stripe : (s + 1) * rows_per_stripe]
+        positions = np.array([(i, j) for i in rows for j in ws], np.int32)
+        pad_n = -len(positions) % (n_ranks * batch_tiles)
+        if pad_n:  # sentinel (-1, -1) rows are masked out of the scatter
+            positions = np.concatenate([positions, np.full((pad_n, 2), -1, np.int32)])
+        # Contiguous batch blocks per rank: (n_ranks, n_batches, B, 2).
+        stripe_positions.append(positions.reshape(n_ranks, -1, batch_tiles, 2))
+        stripe_origins.append(rows[0])
 
     # t_out from the model config (DGMR/Generator expose forecast_steps).
     t_out = getattr(model, "forecast_steps", None)
@@ -250,16 +342,18 @@ def tiled_nowcast_device(
         t_out = probe.shape[1]
     t_out = int(t_out)
 
-    def run_body(field, variables, z, positions):
+    def run_body(field, variables, z, positions, origin):
         # NB: `field` must be an argument (not a closure capture) — captured
         # arrays become HLO constants and blow the remote-compile size limit.
+        # `origin` is the stripe's first tile-row start (padded coords); the
+        # stripe buffer's row 0 is padded row ``origin + margin``.
         def gather(pos):  # (2,) -> (T_in, tile, tile, C); clamped for sentinels
             return jax.lax.dynamic_slice(
                 field, (0, pos[0], pos[1], 0), (t_in, tile, tile, c)
             )
 
         zb = jnp.tile(z, (batch_tiles, 1, 1, 1))
-        out0 = jnp.zeros((t_out, hp, wp, c), dtype)
+        out0 = jnp.zeros((t_out, stripe_h, wp, c), dtype)
 
         def batch_body(out, pos_b):  # pos_b: (B, 2)
             tiles = jax.vmap(gather)(pos_b)
@@ -270,7 +364,7 @@ def tiled_nowcast_device(
                 # Sentinel rows re-write the current contents (a no-op): under
                 # the mesh psum a duplicated real write would double-count, so
                 # padding positions must not contribute.
-                idx = (0, pos_b[k, 0] + margin, pos_b[k, 1] + margin, 0)
+                idx = (0, pos_b[k, 0] - origin, pos_b[k, 1] + margin, 0)
                 cur = jax.lax.dynamic_slice(out, idx, interior.shape[1:])
                 upd = jnp.where(pos_b[k, 0] >= 0, interior[k], cur)
                 return jax.lax.dynamic_update_slice(out, upd, idx)
@@ -281,30 +375,45 @@ def tiled_nowcast_device(
         return out
 
     if mesh is None:
-        run_jit = jax.jit(lambda f, v, zz, p: run_body(f, v, zz, p[0]))
+        run_jit = jax.jit(lambda f, v, zz, p, o: run_body(f, v, zz, p[0], o))
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        def run_sharded(field, variables, z, positions):
+        def run_sharded(field, variables, z, positions, origin):
             # Per-rank block of positions: (1, n_batches, B, 2).  Disjoint
             # interiors over zero-initialized buffers -> one psum stitches
             # all ranks' contributions over ICI.
-            out = run_body(field, variables, z, positions[0])
+            out = run_body(field, variables, z, positions[0], origin)
             return jax.lax.psum(out, "data")
 
         run_jit = jax.jit(
             shard_map(
                 run_sharded,
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P("data")),
+                in_specs=(P(), P(), P(), P("data"), P()),
                 out_specs=P(),
                 check_vma=False,
             )
         )
 
-    out = np.asarray(run_jit(field, variables, z, jnp.asarray(positions)), np.float32)
-    return out[:, margin : margin + h, margin : margin + w, :]
+    # Enqueue every stripe up front (async dispatch), then fetch in order:
+    # the D2H of stripe k overlaps the compute of stripes k+1..  With one
+    # stripe this is exactly the round-2 single-fetch program.
+    futures = [
+        run_jit(field, variables, z, jnp.asarray(p), jnp.int32(o))
+        for p, o in zip(stripe_positions, stripe_origins)
+    ]
+    out = np.empty((t_out, h, w, c), np.float32)
+    for s, fut in enumerate(futures):
+        stripe = np.asarray(fut, np.float32)
+        # Stripe buffer row 0 == padded row origin + margin == real row origin.
+        o = stripe_origins[s]
+        lo = max(0, o)
+        hi = min(h, o + stripe_h)
+        if hi > lo:
+            out[:, lo:hi, :, :] = stripe[:, lo - o : hi - o, margin : margin + w, :]
+    return out
 
 
 def tiled_nowcast(

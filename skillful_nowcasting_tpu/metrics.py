@@ -44,8 +44,26 @@ def crps_ensemble(
     y = jnp.asarray(observation, jnp.float32)
     s = x.shape[0]
     skill = jnp.mean(jnp.abs(x - y[None]), axis=0)
-    # Pairwise member spread, O(S^2) with S ~ 6.
-    spread = jnp.abs(x[:, None] - x[None, :]).sum(axis=(0, 1))
+    # Pairwise member spread WITHOUT the naive (S, S, ...) broadcast — that
+    # materializes S^2 full fields and OOMs on-chip at validation scale
+    # (S=6, B=16, 18x256^2 -> 16 GB).  For paper-sized ensembles, an
+    # unrolled sum over the S(S-1)/2 pairs: one field-sized accumulator,
+    # layout-neutral (an ``(S, ..., C=1)`` sort along axis 0 made XLA:TPU
+    # pick a {C,S}-minor T(8,128) layout padded 170x -> a 72 GB allocation).
+    if s <= 16:
+        acc = jnp.zeros(x.shape[1:], jnp.float32)
+        for i in range(s):
+            for j in range(i + 1, s):
+                acc = acc + jnp.abs(x[i] - x[j])
+        spread = 2.0 * acc
+    else:
+        # Large ensembles: order-statistics identity
+        #   sum_{i,j} |x_i - x_j| = 2 * sum_k (2k - S + 1) * x_(k)
+        # on an (S, N) reshape (sublane-only padding).
+        flat = x.reshape(s, -1)
+        xs = jnp.sort(flat, axis=0)
+        w = (2.0 * jnp.arange(s, dtype=jnp.float32) - s + 1.0)[:, None]
+        spread = (2.0 * jnp.sum(w * xs, axis=0)).reshape(x.shape[1:])
     denom = s * (s - 1) if (fair and s > 1) else s * s
     return skill - 0.5 * spread / denom
 
@@ -91,6 +109,23 @@ def csi(
     sequence (returns one CSI per threshold; the paper uses precipitation
     rates such as 1/4/8 mm/h).  All non-threshold axes are reduced.
     """
+    c = csi_counts(prediction, observation, threshold)
+    out = c[:, 0] / jnp.maximum(jnp.sum(c, axis=1), eps)
+    return out[0] if np.ndim(threshold) == 0 else out
+
+
+def csi_counts(
+    prediction: jnp.ndarray,
+    observation: jnp.ndarray,
+    threshold: Union[float, Sequence[float]],
+) -> jnp.ndarray:
+    """Contingency counts ``(n_thresholds, 3)``: hits, misses, false alarms.
+
+    CSI is a ratio of event counts, so dataset-level scores must pool the
+    counts across batches and divide once — macro-averaging per-batch CSI
+    biases the score (batches with no events at a threshold contribute 0 and
+    drag the mean down).  :func:`evaluate_nowcast` accumulates these counts.
+    """
     thr = jnp.atleast_1d(jnp.asarray(threshold, jnp.float32))
     p = jnp.asarray(prediction, jnp.float32).reshape(-1)
     o = jnp.asarray(observation, jnp.float32).reshape(-1)
@@ -99,8 +134,7 @@ def csi(
     hits = jnp.sum(pe & oe, axis=1)
     misses = jnp.sum(~pe & oe, axis=1)
     false_alarms = jnp.sum(pe & ~oe, axis=1)
-    out = hits / jnp.maximum(hits + misses + false_alarms, eps)
-    return out[0] if np.ndim(threshold) == 0 else out
+    return jnp.stack([hits, misses, false_alarms], axis=1).astype(jnp.float32)
 
 
 def pooled_csi(

@@ -103,6 +103,33 @@ def test_tiled_nowcast_large_field(model_and_vars):
     np.testing.assert_array_equal(out, out2)
 
 
+def test_make_generate_microbatch_exact(model_and_vars):
+    """In-jit microbatch chunking == unchunked forward, bit-for-bit semantics.
+
+    Eval batch elements are independent and every chunk reuses the same
+    latent key stream, so chunking must not change outputs (quirk Q2: one
+    latent per sample shared across the WHOLE batch, chunked or not)."""
+    model, variables = model_and_vars
+    x = jnp.asarray(np.random.default_rng(6).random((4, 4, 128, 128, 1), np.float32))
+    key = jax.random.key(9)
+    # microbatch counts TOTAL conv-batch elements: the shared-context
+    # ensemble path runs all S samples at once, so S=2 and microbatch=4
+    # give per-chunk batch 2.
+    full = make_generate(model, num_samples=2, microbatch=None)(variables, x, key)
+    chunked = make_generate(model, num_samples=2, microbatch=4)(variables, x, key)
+    assert chunked.shape == full.shape == (2, 4, 2, 128, 128, 1)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), rtol=1e-5, atol=1e-6)
+    # Non-divisible cap: the largest divisor <= cap is used
+    # (cap = 6 // S = 3; largest divisor of B=4 that fits is 2).
+    odd = make_generate(model, num_samples=2, microbatch=6)(variables, x, key)
+    np.testing.assert_allclose(np.asarray(odd), np.asarray(chunked), rtol=1e-6)
+    # Prime batch: no divisor but 1; B=1-per-chunk must still be exact.
+    x3 = x[:3]
+    full3 = make_generate(model, num_samples=2, microbatch=None)(variables, x3, key)
+    one3 = make_generate(model, num_samples=2, microbatch=4)(variables, x3, key)
+    np.testing.assert_allclose(np.asarray(one3), np.asarray(full3), rtol=1e-5, atol=1e-6)
+
+
 def test_evaluate_nowcast(model_and_vars):
     """Skill-evaluation loop: finite paper metrics from a batch iterator."""
     model, variables = model_and_vars
@@ -124,6 +151,67 @@ def test_evaluate_nowcast(model_and_vars):
     # Pooling shrinks CRPS of noisy fields; CSI is a ratio in [0, 1].
     assert out["crps_pool4"] < out["crps"]
     assert 0.0 <= out["csi_0.5"] <= 1.0
+
+
+class _PersistenceModel:
+    """Deterministic stand-in for DGMR exposing the ``make_generate``
+    interface (``apply`` + ``num_samples``): predicts the last context frame
+    for every lead time.  Lets the aggregation test control the prediction
+    field exactly (a random-init DGMR may never cross the CSI threshold,
+    making pooled == macro == 0 and the test vacuous)."""
+
+    num_samples = 2
+    forecast_steps = 2
+
+    def apply(self, variables, x, train=False, rngs=None):
+        return jnp.repeat(x[:, -1:], self.forecast_steps, axis=1)
+
+
+def test_evaluate_nowcast_pools_csi_counts():
+    """Dataset CSI = ratio of POOLED contingency counts, not the mean of
+    per-batch CSI ratios (ADVICE round 2): a batch with no events at the
+    threshold must dilute, not zero-bias, the aggregate."""
+    from skillful_nowcasting_tpu.inference import make_skill_metrics
+
+    model = _PersistenceModel()
+    variables = {}
+    rng = np.random.default_rng(11)
+    # Batch 1: predictions AND targets uniform[0,1) -> hits/misses/false
+    # alarms all populated at thr=0.5.  Batch 2: targets < 0.1 (NO events)
+    # while predictions still cross 0.5 -> hits=0, false alarms > 0: its
+    # per-batch CSI is 0 and its denominator differs from batch 1's.
+    b1 = (
+        rng.random((1, 4, 32, 32, 1)).astype(np.float32),
+        rng.random((1, 2, 32, 32, 1)).astype(np.float32),
+    )
+    b2 = (
+        rng.random((1, 4, 32, 32, 1)).astype(np.float32),
+        (0.1 * rng.random((1, 2, 32, 32, 1))).astype(np.float32),
+    )
+
+    key = jax.random.key(3)
+    out = evaluate_nowcast(
+        model, variables, iter([b1, b2]), thresholds=(0.5,), pools=(1,), rng=key
+    )
+
+    # Recompute both per-batch count tables with the same key schedule.
+    bm = make_skill_metrics(model, thresholds=(0.5,), pools=(1,), return_counts=True)
+    r = key
+    counts = np.zeros((1, 3))
+    per_batch_csi = []
+    for images, future in (b1, b2):
+        r, k = jax.random.split(r)
+        m = jax.device_get(bm(variables, jnp.asarray(images), jnp.asarray(future), k))
+        counts += np.asarray(m["csi_counts"])
+        per_batch_csi.append(float(m["csi_0.5"]))
+
+    assert counts[0, 0] > 0, "fixture must produce hits in batch 1"
+    pooled = counts[0, 0] / max(counts[0].sum(), 1e-12)
+    np.testing.assert_allclose(out["csi_0.5"], pooled, rtol=1e-6)
+    macro = float(np.mean(per_batch_csi))
+    assert abs(out["csi_0.5"] - macro) > 1e-6, (
+        "pooled CSI should differ from the biased macro-average here"
+    )
 
 
 def test_bf16_inference(model_and_vars):
@@ -167,6 +255,27 @@ def test_tiled_nowcast_device_interior_exact(model_and_vars):
         model, variables, frames, tile=128, overlap=32, batch_tiles=4, z=z
     )
     np.testing.assert_array_equal(out, out2)
+
+
+def test_tiled_nowcast_device_stripes_exact(model_and_vars):
+    """Striped (overlapped-fetch) device tiling == single-fetch, bit-identical.
+
+    Each interior pixel is written by exactly one tile either way; stripes
+    only change the fetch granularity (D2H of stripe k overlaps compute of
+    stripe k+1 on the chip)."""
+    model, variables = model_and_vars
+    rng = np.random.default_rng(13)
+    frames = rng.random((4, 300, 220, 1)).astype(np.float32)
+    z = jax.random.normal(jax.random.key(3), (1, 4, 4, 8), jnp.float32)
+
+    kwargs = dict(tile=128, overlap=32, batch_tiles=2, z=z)
+    single = tiled_nowcast_device(model, variables, frames, fetch_stripes=1, **kwargs)
+    assert single.shape == (2, 300, 220, 1)
+    for s in (3, 8):  # 8 rounds down to a divisor of the row count
+        striped = tiled_nowcast_device(
+            model, variables, frames, fetch_stripes=s, **kwargs
+        )
+        np.testing.assert_array_equal(single, striped)
 
 
 def test_tiled_nowcast_device_mesh_exact(model_and_vars):
