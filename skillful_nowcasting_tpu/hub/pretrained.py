@@ -25,6 +25,7 @@ loudly.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Any, Callable, Dict, Mapping, Optional
 
@@ -243,13 +244,61 @@ class BoundModel:
     def save_pretrained(self, save_directory: str) -> None:
         save_checkpoint(save_directory, _module_config(self.module), self.variables)
 
+    def model_card(self, repo_id: Optional[str] = None) -> str:
+        """Hub model card with metadata, mirroring the reference mixin's
+        ``library_name``/``tags``/``repo_url`` (``/root/reference/dgmr/dgmr.py:36-42``)."""
+        name = type(self.module).__name__
+        lines = [
+            "---",
+            "library_name: skillful_nowcasting_tpu",
+            "tags:",
+            "- nowcasting",
+            "- forecasting",
+            "- timeseries",
+            "- remote-sensing",
+            "- gan",
+            "- jax",
+            "- flax",
+            "---",
+            "",
+            f"# {name}",
+            "",
+            f"JAX/Flax `{name}` weights for the TPU-native DGMR framework "
+            "(skillful_nowcasting_tpu), a reimplementation of Skillful "
+            "Precipitation Nowcasting using Deep Generative Models of Radar "
+            "(Ravuri et al., Nature 597, 2021).",
+            "",
+            "```python",
+            f"from skillful_nowcasting_tpu import {name}",
+            "",
+            f'model = {name}.from_pretrained("{repo_id or "<repo-id>"}")',
+            "```",
+            "",
+            "## Config",
+            "",
+            "```json",
+            json.dumps(self.config, indent=2, sort_keys=True),
+            "```",
+            "",
+        ]
+        return "\n".join(lines)
+
     def push_to_hub(self, repo_id: str, **kwargs) -> None:
+        """Upload config + weights + a metadata-carrying model card.
+
+        The reference publishes hub metadata with every push (its mixin's
+        ``library_name``/``tags``, ``/root/reference/dgmr/dgmr.py:36-42``);
+        the generated ``README.md`` model card carries the equivalent YAML
+        frontmatter so hub listings classify the repo correctly.
+        """
         import tempfile
 
         from huggingface_hub import HfApi
 
         with tempfile.TemporaryDirectory() as tmp:
             self.save_pretrained(tmp)
+            with open(os.path.join(tmp, "README.md"), "w") as f:
+                f.write(self.model_card(repo_id))
             HfApi().upload_folder(repo_id=repo_id, folder_path=tmp, **kwargs)
 
 

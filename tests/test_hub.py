@@ -195,6 +195,22 @@ def test_predict_channels_first_adapter(dgmr_dir):
     )
 
 
+def test_model_card_metadata(dgmr_dir):
+    """push_to_hub's model card carries the reference mixin's hub metadata
+    (library_name/tags frontmatter, ``/root/reference/dgmr/dgmr.py:36-42``)."""
+    bound = DGMR.from_pretrained(dgmr_dir)
+    card = bound.model_card("openclimatefix/dgmr")
+    head = card.split("---")[1]
+    assert "library_name: skillful_nowcasting_tpu" in head
+    assert "- nowcasting" in head and "- jax" in head
+    assert 'DGMR.from_pretrained("openclimatefix/dgmr")' in card
+    # The config round-trips through the card for human inspection.
+    import json as _json
+
+    cfg = _json.loads(card.split("```json")[1].split("```")[0])
+    assert cfg == bound.config
+
+
 def test_from_pretrained_missing_path_errors():
     with pytest.raises(FileNotFoundError):
         from_pretrained(DGMR, "/nonexistent/definitely-not-a-repo")
