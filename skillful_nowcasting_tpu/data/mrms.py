@@ -97,27 +97,54 @@ class MRMSSequences:
         self.process_index = process_index
         self.process_count = process_count
 
-    def _next_chunk_start(self, rng: np.random.Generator, t_total: int) -> int:
+    def _next_chunk_start(
+        self, rng: np.random.Generator, t_total: int, phase: int = 0
+    ) -> int:
         """Disjoint per-host chunk start: chunk-aligned slots on the time axis,
         strided by host index, so no two hosts ever read the same chunk.
 
+        ``phase`` shifts the WHOLE slot grid by the same offset (all hosts use
+        the same per-epoch phase, so the shifted chunks stay pairwise
+        disjoint) — without it training windows would never cross the fixed
+        chunk boundaries.  Shifting can drop the final slot (the shifted grid
+        holds one fewer complete chunk); slots are recomputed per phase.
+
         Falls back to independent draws when the array is too short to give
-        every host its own slot.
+        every host its own slot — this LOSES the disjointness guarantee
+        (warned once): hosts may then sample overlapping windows.
         """
         max_start = t_total - self.frames_per_chunk
         if max_start <= 0:
             return 0
-        n_slots = max_start // self.frames_per_chunk + 1
+        phase = min(phase, max_start)
+        n_slots = (max_start - phase) // self.frames_per_chunk + 1
         host_slots = np.arange(n_slots)[self.process_index :: self.process_count]
         if host_slots.size:
-            return int(rng.choice(host_slots)) * self.frames_per_chunk
+            return phase + int(rng.choice(host_slots)) * self.frames_per_chunk
+        if not self._warned_overlap:
+            self._warned_overlap = True
+            import sys
+
+            print(
+                f"MRMSSequences: {self.process_count} hosts > {n_slots} "
+                f"chunk slots — falling back to independent uniform chunk "
+                "starts (hosts may sample overlapping data)",
+                file=sys.stderr,
+            )
         return int(rng.integers(0, max_start + 1))
+
+    _warned_overlap = False
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         t_total = self.array.shape[0]
         rng = np.random.default_rng(self.seed + 7919 * self.process_index)
+        # Host-independent phase stream: every host draws the same phase
+        # sequence (seeded by ``seed`` alone) so the k-th chunk pick uses the
+        # same slot-boundary shift on all hosts, preserving disjointness.
+        phase_rng = np.random.default_rng(self.seed ^ 0x5EED)
         while True:
-            start = self._next_chunk_start(rng, t_total)
+            phase = int(phase_rng.integers(0, self.frames_per_chunk))
+            start = self._next_chunk_start(rng, t_total, phase)
             pool = _ensure_thwc(
                 np.asarray(self.array[start : start + self.frames_per_chunk], np.float32)
             )

@@ -28,6 +28,7 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        build_err = None
         try:
             # Always invoke make: the timestamp rule rebuilds when
             # radar_window.cpp changed, and the .so is never committed
@@ -37,10 +38,25 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True,
                 capture_output=True,
             )
-            lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
         except (OSError, subprocess.CalledProcessError) as e:
-            print(f"native radar_window unavailable ({e}); numpy fallback", file=sys.stderr)
+            # make/g++ unavailable or failed — a previously built .so on this
+            # host may still be valid, so fall through to the CDLL attempt.
+            build_err = e
+        try:
+            lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+        except OSError as e:
+            print(
+                f"native radar_window unavailable (build: {build_err or 'ok'}; "
+                f"load: {e}); numpy fallback",
+                file=sys.stderr,
+            )
             return None
+        if build_err is not None:
+            print(
+                f"native radar_window rebuild failed ({build_err}); "
+                "using the existing library",
+                file=sys.stderr,
+            )
 
         i64p = ctypes.POINTER(ctypes.c_int64)
         f32p = ctypes.POINTER(ctypes.c_float)

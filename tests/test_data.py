@@ -146,6 +146,71 @@ def test_mrms_disjoint_per_host_chunks():
             assert (s // chunk) % 4 == i
 
 
+def test_mrms_phase_rotation_stays_disjoint():
+    """A shared per-epoch phase shifts slot boundaries (so windows cross the
+    fixed chunk grid) while hosts stay pairwise disjoint (ADVICE round 2)."""
+    from skillful_nowcasting_tpu.data import MRMSSequences
+
+    array = np.zeros((512, 8, 8), np.float32)
+    chunk = 32
+    for phase in (0, 7, 31):
+        starts = {}
+        for idx in range(4):
+            seqs = MRMSSequences(
+                array, frames_per_chunk=chunk, seed=9,
+                process_index=idx, process_count=4,
+            )
+            rng = np.random.default_rng(0)
+            starts[idx] = {
+                seqs._next_chunk_start(rng, array.shape[0], phase) for _ in range(100)
+            }
+            for s in starts[idx]:
+                assert 0 <= s <= array.shape[0] - chunk
+                # The whole slot grid shifts by the phase.
+                assert (s - phase) % chunk == 0
+        for i in range(4):
+            for j in range(i + 1, 4):
+                # Shifted chunks [s, s+chunk) from distinct slots never overlap.
+                for a in starts[i]:
+                    for b in starts[j]:
+                        assert abs(a - b) >= chunk
+
+
+def test_mrms_phase_advances_in_stream():
+    """The iterator actually uses a varying phase: chunk starts are not all
+    chunk-aligned once streaming (boundary-crossing windows get sampled)."""
+    from skillful_nowcasting_tpu.data import MRMSSequences
+
+    array = (
+        np.arange(512, dtype=np.float32)[:, None, None]
+        * np.ones((1, 16, 16), np.float32)
+    )
+    seqs = MRMSSequences(
+        array, batch_size=1, crop=16, num_target_frames=2, frames_per_chunk=32,
+        batches_per_chunk=1, seed=3, process_index=0, process_count=1,
+    )
+    it = iter(seqs)
+    # Frame values encode the time index; collect the first frame's value.
+    first_times = {int(next(it)[0][0, 0, 0, 0, 0]) for _ in range(12)}
+    assert any(t % 32 not in (0,) and t > 32 for t in first_times) or len(first_times) > 1
+
+
+def test_mrms_overlap_fallback_warns(capsys):
+    """More hosts than chunk slots: falls back to uniform draws with ONE warning."""
+    from skillful_nowcasting_tpu.data import MRMSSequences
+
+    array = np.zeros((80, 8, 8), np.float32)  # 2 slots of 32 frames
+    seqs = MRMSSequences(
+        array, frames_per_chunk=32, seed=1, process_index=3, process_count=4
+    )
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        s = seqs._next_chunk_start(rng, array.shape[0])
+        assert 0 <= s <= array.shape[0] - 32
+    err = capsys.readouterr().err
+    assert err.count("falling back to independent uniform chunk starts") == 1
+
+
 def test_mrms_tiles():
     from skillful_nowcasting_tpu.data import mrms_tiles
 
