@@ -288,24 +288,55 @@ def test_dp_eval_step_pjit_matches_single_device(setup):
     "8-virtual-CPU-device mesh; set RUN_PJIT_TRAIN_TEST=1 to run",
 )
 def test_dp_train_step_pjit_matches_single_device(setup):
-    """pjit train step == single-device train step on the same global batch."""
+    """pjit train step == single-device train step on the same global batch.
+
+    Both sides run SGD instead of the model's Adam pair for the same reason
+    as :func:`test_dp_matches_vmap_reference`: Adam with beta1=0 at step 1
+    is ~lr*sign(g), so GSPMD-vs-single-device accumulation-order noise on
+    near-zero gradient leaves flips signs and diverges by O(lr) — chaotic
+    noise, not a semantics difference.  SGD is linear in the gradients, so
+    post-step states compare at the measured cross-path noise floors (G
+    gradients flow through the rematted recurrent rollout, hence the wider
+    floor — see ``_assert_tree_close``).
+    """
+    import optax
+
     model, mesh, images, future, state = setup
     rng = jax.random.key(22)
+
+    sgd_pair = (optax.sgd(5e-5), optax.sgd(2e-4))
+    g0, d0 = split_params(state.params)
+    state = state.replace(
+        g_opt_state=sgd_pair[0].init(g0), d_opt_state=sgd_pair[1].init(d0)
+    )
+
     step_pjit = make_dp_train_step(
-        model, mesh, logging_forward=False, donate_state=False, mode="pjit"
+        model,
+        mesh,
+        logging_forward=False,
+        donate_state=False,
+        mode="pjit",
+        optimizers=sgd_pair,
     )
     new_pjit, m_pjit = step_pjit(state, *shard_batch((images, future), mesh), rng)
-    single = jax.jit(make_train_step(model, logging_forward=False))
+    single = jax.jit(make_train_step(model, logging_forward=False, optimizers=sgd_pair))
     new_single, m_single = single(state, images, future, rng)
-    _assert_tree_close(new_pjit.params, new_single.params, rtol=1e-4, what="params")
+    g_p, d_p = split_params(new_pjit.params)
+    g_s, d_s = split_params(new_single.params)
+    _assert_tree_close(g_p, g_s, rtol=1e-4, noise_rel=2e-2, what="g_params")
+    _assert_tree_close(d_p, d_s, rtol=1e-4, noise_rel=1e-5, what="d_params")
     _assert_tree_close(
         new_pjit.g_opt_state, new_single.g_opt_state, rtol=1e-4, what="g_opt"
     )
     _assert_tree_close(
         new_pjit.d_opt_state, new_single.d_opt_state, rtol=1e-4, what="d_opt"
     )
+    _assert_tree_close(
+        new_pjit.batch_stats, new_single.batch_stats, rtol=1e-4, noise_rel=1e-4,
+        what="batch_stats",
+    )
     for k in ("train/d_loss", "train/g_loss", "train/grid_loss"):
-        np.testing.assert_allclose(float(m_pjit[k]), float(m_single[k]), rtol=1e-4)
+        np.testing.assert_allclose(float(m_pjit[k]), float(m_single[k]), rtol=1e-3)
     assert float(m_pjit["train/d_grad_norm"]) > 0
 
 
