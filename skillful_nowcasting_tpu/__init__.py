@@ -27,6 +27,17 @@ __all__ = [
     "Sampler",
     "SpatialDiscriminator",
     "TemporalDiscriminator",
+    "Trainer",
 ]
 
 __version__ = "0.3.0"
+
+
+def __getattr__(name):
+    # Lazy: Trainer pulls in Orbax/parallel machinery that pure inference
+    # users (and the hub converter) never need at import time.
+    if name == "Trainer":
+        from .trainer import Trainer
+
+        return Trainer
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -5,17 +5,20 @@ TPU-native redesign of the reference's ``TFDataset`` + ``DGMRDataModule``:
 * the reference streams the full HF dataset independently on every rank with
   random reshuffles (``run.py:147-154``) — an every-rank-streams-everything
   antipattern (SURVEY.md §2.8).  Here the stream is **deterministically
-  sharded per host** (``datasets.Dataset.shard`` by ``jax.process_index()``)
-  with seeded shuffle windows, so hosts read disjoint data;
+  sharded per host** (``datasets.distributed.split_dataset_by_node`` keyed on
+  ``jax.process_index()``, applied BEFORE the seeded shuffle so the buffer
+  holds only this host's shard), so hosts read disjoint data;
 * windows are split [-22:-18] context / [-18:] target (``windows.py``) and
   kept THWC (no torch axis-moving);
 * batches are assembled host-side as numpy and handed to
   :func:`skillful_nowcasting_tpu.data.prefetch.prefetch_to_device` for
   double-buffered HBM staging.
 
-Network access is required for the real dataset; everything degrades to a
-clear ImportError/ConnectionError otherwise (tests use
-:mod:`.synthetic`).
+Network access is required for the real hub dataset; the full streaming
+path (open → shard → shuffle → window) is exercised offline in
+``tests/test_data.py`` by pointing ``dataset_name="parquet"`` +
+``load_kwargs={"data_files": ...}`` at a local fixture, and training falls
+back to :mod:`.synthetic` when no network exists.
 """
 
 from __future__ import annotations
@@ -40,7 +43,8 @@ class NimrodStream:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         dataset_name: str = "openclimatefix/nimrod-uk-1km",
-        config_name: str = "sample",
+        config_name: Optional[str] = "sample",
+        load_kwargs: Optional[dict] = None,
     ):
         import jax
 
@@ -57,19 +61,35 @@ class NimrodStream:
         )
         self.dataset_name = dataset_name
         self.config_name = config_name
+        # Extra load_dataset kwargs — e.g. ``data_files=...`` with
+        # ``dataset_name="parquet"`` streams a LOCAL fixture through the
+        # exact hub code path (shuffle/shard/window), which is how the
+        # pipeline is tested offline (tests/test_data.py).
+        self.load_kwargs = dict(load_kwargs or {})
         self._epoch = 0
         self._iter = None
 
     def _open(self):
         from datasets import load_dataset
 
-        ds = load_dataset(
-            self.dataset_name, self.config_name, split=self.split, streaming=True
+        args = (self.dataset_name,) if self.config_name is None else (
+            self.dataset_name,
+            self.config_name,
         )
-        # Deterministic per-epoch shuffle; disjoint per-host shards.
-        ds = ds.shuffle(seed=self.seed + self._epoch, buffer_size=self.shuffle_buffer)
+        ds = load_dataset(*args, split=self.split, streaming=True, **self.load_kwargs)
+        # Disjoint per-host shards FIRST, then a deterministic per-epoch
+        # shuffle within the shard.  Order matters: shuffling first would
+        # buffer (and with `datasets` >= 5, crash on) the un-sharded stream.
+        # split_dataset_by_node assigns whole files when they divide evenly
+        # over hosts and falls back to strided example-skipping otherwise —
+        # disjoint either way.
         if self.process_count > 1:
-            ds = ds.shard(num_shards=self.process_count, index=self.process_index)
+            from datasets.distributed import split_dataset_by_node
+
+            ds = split_dataset_by_node(
+                ds, rank=self.process_index, world_size=self.process_count
+            )
+        ds = ds.shuffle(seed=self.seed + self._epoch, buffer_size=self.shuffle_buffer)
         return iter(ds)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

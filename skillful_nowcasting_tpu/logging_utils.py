@@ -14,6 +14,24 @@ from typing import Mapping, Optional
 
 import numpy as np
 
+# Fixed symlog10 binning for on-device parameter/gradient histograms (the
+# reference's ``wandb.watch(model, log="all")`` capability, ``train/run.py:45-49``).
+# Histograms are computed INSIDE the jitted train step over static bins —
+# data-dependent bin edges would be a dynamic shape — so the same edges must
+# be reproducible host-side when writing TensorBoard/wandb events.  The
+# transform is y = arcsinh(x / SCALE) / ln(10): linear near zero (below
+# ~SCALE), one unit per decade of |x| beyond, covering |x| up to ~1e16 at
+# Y_MAX=28 (DGMR grid-loss gradients reach ~1e11 under quirk Q3/Q4 scaling).
+HIST_BINS = 64
+HIST_SYMLOG_SCALE = 1e-12
+HIST_Y_MAX = 28.0
+
+
+def hist_bucket_edges(bins: int = HIST_BINS) -> np.ndarray:
+    """Original-domain bucket edges ``(bins + 1,)`` of the symlog histogram."""
+    y = np.linspace(-HIST_Y_MAX, HIST_Y_MAX, bins + 1)
+    return np.sinh(y * np.log(10.0)) * HIST_SYMLOG_SCALE
+
 
 class MetricsLogger:
     """TensorBoard (+ optional wandb) writer with stdout fallback."""
@@ -52,6 +70,42 @@ class MetricsLogger:
         if self._tb is None and self._wandb is None:
             line = " ".join(f"{k}={v:.5g}" for k, v in scalars.items())
             print(f"step {step}: {line}", file=sys.stderr)
+
+    def log_histograms(self, hists: Mapping[str, Mapping[str, np.ndarray]], step: int) -> None:
+        """Write per-layer histograms computed on-device by the train step.
+
+        ``hists`` maps a tag (e.g. ``train/hist/grads/sampler``) to the
+        packed device stats ``{"counts", "min", "max", "sum", "sumsq"}``
+        produced by ``training._layer_histograms`` — fixed symlog bins, so
+        the host only reattaches the static bucket edges (no raw values ever
+        cross the tunnel).  TensorBoard gets ``add_histogram_raw``; wandb a
+        pre-binned ``wandb.Histogram``.
+        """
+        if self._tb is None and self._wandb is None:
+            return
+        edges = hist_bucket_edges()
+        for tag, h in hists.items():
+            counts = np.asarray(h["counts"], dtype=np.float64)
+            n = float(counts.sum())
+            if n <= 0:
+                continue
+            if self._tb is not None:
+                self._tb.add_histogram_raw(
+                    tag,
+                    min=float(h["min"]),
+                    max=float(h["max"]),
+                    num=int(round(n)),
+                    sum=float(h["sum"]),
+                    sum_squares=float(h["sumsq"]),
+                    bucket_limits=edges[1:].tolist(),
+                    bucket_counts=counts.tolist(),
+                    global_step=step,
+                )
+            if self._wandb is not None:
+                self._wandb.log(
+                    {tag: self._wandb.Histogram(np_histogram=(counts, edges))},
+                    step=step,
+                )
 
     def log_video_frames(
         self, tag: str, video: np.ndarray, step: int, max_frames: int = 18

@@ -51,6 +51,7 @@ def make_dp_train_step(
     donate_state: bool = True,
     mode: str = "shard_map",
     watch_gradients: bool = False,
+    watch_histograms: bool = False,
     compute_dtype=None,
     return_grads: bool = False,
     rollout_remat: bool = True,
@@ -77,6 +78,7 @@ def make_dp_train_step(
             model,
             logging_forward=logging_forward,
             watch_gradients=watch_gradients,
+            watch_histograms=watch_histograms,
             compute_dtype=compute_dtype,
             return_grads=return_grads,
             rollout_remat=rollout_remat,
@@ -88,6 +90,7 @@ def make_dp_train_step(
             model,
             logging_forward=logging_forward,
             watch_gradients=watch_gradients,
+            watch_histograms=watch_histograms,
             compute_dtype=compute_dtype,
             return_grads=return_grads,
             rollout_remat=rollout_remat,
@@ -109,6 +112,7 @@ def make_dp_train_step(
         logging_forward=logging_forward,
         axis_name=AXIS,
         watch_gradients=watch_gradients,
+        watch_histograms=watch_histograms,
         compute_dtype=compute_dtype,
         return_grads=return_grads,
         rollout_remat=rollout_remat,

@@ -53,6 +53,7 @@ class Trainer:
         on_checkpoint=None,
         prefetch: int = 2,
         watch_gradients: bool = False,
+        watch_histograms: bool = False,
         compute_dtype=None,
         val_skill: bool = False,
         rollout_remat: bool = True,
@@ -82,8 +83,10 @@ class Trainer:
             donate_state=True,
             mode=dp_mode,
             # The reference's wandb.watch per-layer gradient logging
-            # (train/run.py:37-49), as per-layer norms in the metrics.
+            # (train/run.py:37-49), as per-layer norms in the metrics;
+            # histograms = the log="all" analog (on-device symlog bins).
             watch_gradients=watch_gradients,
+            watch_histograms=watch_histograms,
             # bf16 mixed precision (f32 master params/moments/stats); the
             # reference trains precision-32 (run.py:227-234), so f32 default.
             compute_dtype=compute_dtype,
@@ -179,6 +182,9 @@ class Trainer:
                 images, future = shard_batch((images, future), self.mesh)
                 rng, step_key = jax.random.split(rng)
                 state, metrics = self.train_step(state, images, future, step_key)
+                # Histograms are a nested subtree, not scalars — pop before
+                # the scalar filters below (None unless watch_histograms).
+                hists = metrics.pop("train/hist", None) if isinstance(metrics, dict) else None
 
                 if self.log_every and (step + 1) % self.log_every == 0:
                     host = {
@@ -187,6 +193,10 @@ class Trainer:
                     dt = (time.time() - t_log) / self.log_every
                     host["train/steps_per_sec"] = 1.0 / max(dt, 1e-9)
                     self.logger.log_scalars(host, step + 1)
+                    if hists is not None:
+                        # One device_get for the whole packed-histogram tree
+                        # (counts + 4 scalars per layer), only on log steps.
+                        self.logger.log_histograms(jax.device_get(hists), step + 1)
                     t_log = time.time()
                     if self.model.visualize and "train/generated_images" in metrics:
                         self.logger.log_video_frames(

@@ -40,6 +40,7 @@ import optax
 from flax import struct
 
 from .dgmr import DGMR
+from .logging_utils import HIST_BINS, HIST_SYMLOG_SCALE, HIST_Y_MAX
 from .losses import GridCellLoss, loss_hinge_disc, loss_hinge_gen, weight_fn
 from . import remat_names as _remat_names
 
@@ -185,6 +186,61 @@ def _layer_grad_norms(grads: Mapping[str, Any], prefix: str, depth: int = 2) -> 
     return out
 
 
+def _layer_histograms(
+    tree: Mapping[str, Any], depth: int = 2
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Per-submodule value histograms over fixed symlog bins (jit-static).
+
+    The full ``wandb.watch(model, log="all")`` analog (reference
+    ``train/run.py:45-49``): per layer path (same grouping as
+    :func:`_layer_grad_norms`) this returns ``{"counts", "min", "max",
+    "sum", "sumsq"}`` — everything TensorBoard's ``add_histogram_raw`` /
+    wandb's pre-binned ``Histogram`` need — computed ON DEVICE so only
+    ``HIST_BINS + 4`` scalars per layer cross the tunnel instead of the raw
+    tensors.  Bins are static (symlog10, ``logging_utils.hist_bucket_edges``
+    reproduces the edges host-side); values beyond ±1e16 clip into the end
+    bins so counts always sum to the element count.
+    """
+    import numpy as np
+
+    ln10 = float(np.log(10.0))
+
+    def stats(subtree):
+        leaves = [jnp.ravel(l).astype(jnp.float32) for l in jax.tree.leaves(subtree)]
+        if not leaves:
+            return None
+        v = jnp.concatenate(leaves) if len(leaves) > 1 else leaves[0]
+        y = jnp.clip(jnp.arcsinh(v / HIST_SYMLOG_SCALE) / ln10, -HIST_Y_MAX, HIST_Y_MAX)
+        # Integer bincount, NOT jnp.histogram: histogram scatter-adds 1.0f
+        # per element, and a float32 bin saturates at 2^24 — a 22M-element
+        # layer whose values share one bin (e.g. all-zero D gradients under
+        # a saturated hinge) silently loses counts (exactness is tested).
+        width = (2.0 * HIST_Y_MAX) / HIST_BINS
+        idx = jnp.clip(((y + HIST_Y_MAX) / width).astype(jnp.int32), 0, HIST_BINS - 1)
+        counts = jnp.bincount(idx, length=HIST_BINS)
+        return {
+            "counts": counts.astype(jnp.int32),
+            "min": v.min(),
+            "max": v.max(),
+            "sum": v.sum(),
+            "sumsq": jnp.sum(v * v),
+        }
+
+    out: Dict[str, Dict[str, jnp.ndarray]] = {}
+
+    def rec(tree, path, d):
+        if d == 0 or not isinstance(tree, Mapping):
+            s = stats(tree)
+            if s is not None:
+                out["/".join(path)] = s
+            return
+        for k, v in tree.items():
+            rec(v, path + (k,), d - 1)
+
+    rec(tree, (), depth)
+    return out
+
+
 def desaturate_discriminator(params: Mapping[str, Any], factor: float = 0.01) -> Dict[str, Any]:
     """Shrink both D heads' final BatchNorm scale so hinge terms are active.
 
@@ -209,6 +265,7 @@ def make_train_step(
     logging_forward: bool = True,
     axis_name: Optional[str] = None,
     watch_gradients: bool = False,
+    watch_histograms: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
     return_grads: bool = False,
     rollout_remat: bool = True,
@@ -221,7 +278,12 @@ def make_train_step(
     extra generator forward (quirk Q8) for throughput; the default keeps it for
     behavioral parity.  ``watch_gradients=True`` adds per-layer gradient norms
     to the metrics (the reference's ``wandb.watch`` capability,
-    ``train/run.py:37-49``).
+    ``train/run.py:37-49``); ``watch_histograms=True`` additionally packs
+    per-layer parameter and gradient histograms (fixed symlog bins, computed
+    on device — see :func:`_layer_histograms`) under ``metrics["train/hist"]``
+    — the full ``wandb.watch(log="all")`` analog.  Both are purely additive:
+    with the flags off the traced program (and its compile-cache key) is
+    unchanged.
 
     ``axis_name`` enables the shard_map DP mode (see ``parallel/dp.py``):
     gradients and metrics are ``pmean``-ed over that axis before the optimizer
@@ -310,6 +372,8 @@ def make_train_step(
                 else {}
             )
             out = (loss, optax.global_norm(d_grads), layer_norms)
+            if watch_histograms:
+                out = out + (_layer_histograms(d_grads["discriminator"], depth=1),)
             if return_grads:
                 out = out + (d_grads,)
             return (d_p, d_opt, bs, sp), out
@@ -320,7 +384,12 @@ def make_train_step(
             (d_lat, d_fr),
         )
         d_losses, d_gnorms, d_layer_norms = d_outs[:3]
-        d_grads_stacked = d_outs[3] if return_grads else None
+        idx = 3
+        d_hists_stacked = None
+        if watch_histograms:
+            d_hists_stacked = d_outs[idx]
+            idx += 1
+        d_grads_stacked = d_outs[idx] if return_grads else None
         d_loss = d_losses[-1]  # reference logs the last D step's loss
         params = merge_params(g_params, d_params)
 
@@ -436,6 +505,26 @@ def make_train_step(
         if watch_gradients:
             metrics.update(_layer_grad_norms(g_grads, "train/grad_norm/"))
             metrics.update({k: v[-1] for k, v in d_layer_norms.items()})
+        if watch_histograms:
+            # Params after this step's updates (replicated under DP) and the
+            # synced (pmean-ed) gradients — so the packed counts are replica-
+            # identical and the DP wrapper's replicated out_spec is exact.
+            hist: Dict[str, Dict[str, jnp.ndarray]] = {}
+            hist.update(
+                {f"train/hist/params/{k}": v for k, v in _layer_histograms(params).items()}
+            )
+            hist.update(
+                {f"train/hist/grads/{k}": v for k, v in _layer_histograms(g_grads).items()}
+            )
+            hist.update(
+                {
+                    f"train/hist/grads/discriminator/{k}": jax.tree.map(
+                        lambda x: x[-1], v
+                    )
+                    for k, v in d_hists_stacked.items()
+                }
+            )
+            metrics["train/hist"] = hist
         if return_grads:
             # Test/diagnostic hook: the (pmean-ed) raw gradient trees — the
             # DP-equivalence tests compare these against an independent

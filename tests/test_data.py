@@ -230,3 +230,114 @@ def test_prefetch_with_sharding():
     out = list(prefetch_to_device(iter(items), sharding=batch_sharding(mesh)))
     assert len(out) == 3
     assert out[0][0].sharding.is_equivalent_to(batch_sharding(mesh), ndim=5)
+
+
+# --- nimrod streaming pipeline over a LOCAL parquet fixture -----------------
+# `load_dataset("parquet", data_files=..., streaming=True)` runs the exact
+# hub code path (open -> shuffle -> shard -> iterate) without network, so the
+# per-host sharding / epoch-reshuffle / window logic of NimrodStream is
+# testable offline (reference behavior: train/run.py:126-215).
+
+
+@pytest.fixture(scope="module")
+def nimrod_fixture(tmp_path_factory):
+    """4 parquet files x 2 rows, each row's frames filled with its row id."""
+    datasets = pytest.importorskip("datasets")
+    root = tmp_path_factory.mktemp("nimrod_parquet")
+    files = []
+    for f in range(4):
+        rows = []
+        for r in range(2):
+            rid = f * 2 + r
+            frames = np.full((24, 8, 8, 1), float(rid), np.float32)
+            rows.append(frames.tolist())
+        path = str(root / f"part-{f}.parquet")
+        datasets.Dataset.from_dict({"radar_frames": rows}).to_parquet(path)
+        files.append(path)
+    return files
+
+
+def _row_ids(stream, n):
+    ids = []
+    for _ in range(n):
+        i, t = next(stream)
+        assert i.shape == (NUM_INPUT_FRAMES, 8, 8, 1)
+        assert t.shape == (NUM_TARGET_FRAMES, 8, 8, 1)
+        # Row content is constant == row id; context/target come from the
+        # same row.
+        assert float(i[0, 0, 0, 0]) == float(t[0, 0, 0, 0])
+        ids.append(int(i[0, 0, 0, 0]))
+    return ids
+
+
+def test_nimrod_stream_local_parquet(nimrod_fixture):
+    from skillful_nowcasting_tpu.data.nimrod import NimrodStream
+
+    stream = NimrodStream(
+        split="train",
+        seed=3,
+        process_index=0,
+        process_count=1,
+        dataset_name="parquet",
+        config_name=None,
+        load_kwargs={"data_files": {"train": nimrod_fixture}},
+    )
+    ids = _row_ids(stream, 8)
+    assert sorted(ids) == list(range(8))  # one full epoch, every row once
+    # Epoch boundary: reshuffles (epoch-derived seed) and keeps yielding.
+    ids2 = _row_ids(stream, 8)
+    assert sorted(ids2) == list(range(8))
+
+    # Determinism: an identical stream replays the identical sequence.
+    replay = NimrodStream(
+        split="train",
+        seed=3,
+        process_index=0,
+        process_count=1,
+        dataset_name="parquet",
+        config_name=None,
+        load_kwargs={"data_files": {"train": nimrod_fixture}},
+    )
+    assert _row_ids(replay, 16) == ids + ids2
+
+
+def test_nimrod_stream_disjoint_hosts(nimrod_fixture):
+    from skillful_nowcasting_tpu.data.nimrod import NimrodStream
+
+    per_host = []
+    for idx in range(2):
+        s = NimrodStream(
+            split="train",
+            seed=11,
+            process_index=idx,
+            process_count=2,
+            dataset_name="parquet",
+            config_name=None,
+            load_kwargs={"data_files": {"train": nimrod_fixture}},
+        )
+        per_host.append(set(_row_ids(s, 4)))
+    # Hosts read disjoint shards covering the whole dataset (SURVEY.md 2.8 --
+    # the reference's every-rank-streams-everything antipattern, fixed).
+    assert per_host[0] & per_host[1] == set()
+    assert per_host[0] | per_host[1] == set(range(8))
+
+
+def test_dgmr_datamodule_local_parquet(nimrod_fixture):
+    from skillful_nowcasting_tpu.data.nimrod import DGMRDataModule
+
+    dm = DGMRDataModule(
+        batch_size=2,
+        seed=5,
+        process_index=0,
+        process_count=1,
+        dataset_name="parquet",
+        config_name=None,
+        load_kwargs={
+            "data_files": {"train": nimrod_fixture, "validation": nimrod_fixture}
+        },
+    )
+    images, future = next(dm.train_dataloader())
+    assert images.shape == (2, NUM_INPUT_FRAMES, 8, 8, 1)
+    assert future.shape == (2, NUM_TARGET_FRAMES, 8, 8, 1)
+    vi, vf = next(dm.val_dataloader())
+    assert vi.shape == (2, NUM_INPUT_FRAMES, 8, 8, 1)

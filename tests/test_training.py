@@ -135,6 +135,70 @@ def test_watch_gradients_metrics(tiny_model, state, tiny_batch):
     np.testing.assert_allclose(g_sum, g_total, rtol=1e-4)
 
 
+def test_watch_histograms_metrics(tiny_model, state, tiny_batch, tmp_path):
+    """Per-layer parameter/gradient histograms (wandb.watch(log="all") analog).
+
+    Counts are computed on-device over fixed symlog bins; every value must
+    land in a bin (clipping at ±1e16), so per-layer counts sum exactly to
+    the layer's element count — checked against the real param tree sizes.
+    """
+    from skillful_nowcasting_tpu.logging_utils import (
+        HIST_BINS,
+        MetricsLogger,
+        hist_bucket_edges,
+    )
+
+    images, future = tiny_batch
+    train_step = jax.jit(
+        make_train_step(tiny_model, logging_forward=False, watch_histograms=True)
+    )
+    _, metrics = train_step(state, images, future, jax.random.key(7))
+    hists = jax.device_get(metrics["train/hist"])
+
+    param_keys = [k for k in hists if k.startswith("train/hist/params/")]
+    grad_keys = [k for k in hists if k.startswith("train/hist/grads/")]
+    assert any("/sampler/" in k for k in param_keys)
+    assert any("/sampler/" in k for k in grad_keys)
+    assert any(k.startswith("train/hist/grads/discriminator/") for k in grad_keys)
+
+    for k, h in hists.items():
+        assert h["counts"].shape == (HIST_BINS,), k
+        assert float(h["min"]) <= float(h["max"]), k
+        assert float(h["sumsq"]) >= 0.0, k
+
+    # Exact coverage: params histograms partition the full parameter tree.
+    g_params, d_params = split_params(state.params)
+    total_params = sum(x.size for x in jax.tree.leaves(state.params))
+    assert sum(int(h["counts"].sum()) for k, h in hists.items() if k in param_keys) == total_params
+    # Gradient histograms partition G params (depth 2) + D params (per head).
+    g_size = sum(x.size for x in jax.tree.leaves(g_params))
+    d_size = sum(x.size for x in jax.tree.leaves(d_params))
+    g_grad_n = sum(
+        int(h["counts"].sum())
+        for k, h in hists.items()
+        if k in grad_keys and not k.startswith("train/hist/grads/discriminator/")
+    )
+    d_grad_n = sum(
+        int(h["counts"].sum())
+        for k, h in hists.items()
+        if k.startswith("train/hist/grads/discriminator/")
+    )
+    assert g_grad_n == g_size
+    assert d_grad_n == d_size
+
+    # Static edges reproduce host-side: monotone, symmetric, bins+1 of them.
+    edges = hist_bucket_edges()
+    assert edges.shape == (HIST_BINS + 1,)
+    assert np.all(np.diff(edges) > 0)
+    np.testing.assert_allclose(edges, -edges[::-1], rtol=1e-12)
+
+    # TensorBoard raw-histogram write round-trips without error.
+    logger = MetricsLogger(str(tmp_path))
+    logger.log_histograms(hists, step=1)
+    logger.close()
+    assert any(f.name.startswith("events") for f in tmp_path.iterdir())
+
+
 def test_train_step_bf16_mixed_precision(tiny_model, state, tiny_batch):
     """bf16 compute with f32 master params/moments/statistics.
 

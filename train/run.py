@@ -56,6 +56,14 @@ def parse_args():
         help="log per-layer gradient norms (reference wandb.watch, run.py:37-49)",
     )
     p.add_argument(
+        "--watch-histograms",
+        action="store_true",
+        help=(
+            "log per-layer parameter/gradient histograms (reference "
+            "wandb.watch(log='all'); on-device symlog bins, TB/wandb)"
+        ),
+    )
+    p.add_argument(
         "--val-skill",
         action="store_true",
         help="log CRPS/CSI/MSE skill metrics at each validation (metrics.py)",
@@ -154,6 +162,7 @@ def main():
         seed=args.seed,
         logging_forward=not args.no_logging_forward,
         watch_gradients=args.watch_gradients,
+        watch_histograms=args.watch_histograms,
         val_skill=args.val_skill,
         compute_dtype=(
             jax.numpy.bfloat16 if args.compute_dtype == "bfloat16" else None
