@@ -130,3 +130,64 @@ def test_trainer_val_skill_metrics(tmp_path):
     for key in ("val/crps", "val/mse", "val/csi_1", "val/crps_pool4"):
         assert key in logged and np.isfinite(logged[key]), (key, sorted(logged))
     assert "val/d_loss" in logged
+
+
+def test_trainer_watch_histograms_dp(tmp_path):
+    """watch_histograms through the DP-wrapped Trainer on the 8-device mesh.
+
+    The packed histograms are computed on post-pmean (replica-identical)
+    values inside the shard_map step, so the replicated out_spec must be
+    exact and the param-histogram counts must partition the real parameter
+    tree; TB events must be written.
+    """
+    import os
+
+    import jax
+    import numpy as np
+
+    model = DGMR(**TINY)
+    tb = str(tmp_path / "tb")
+    trainer = Trainer(
+        model,
+        max_steps=2,
+        ckpt_dir=None,
+        log_every=1,
+        log_dir=tb,
+        val_every=0,
+        seed=0,
+        logging_forward=False,
+        watch_histograms=True,
+    )
+
+    def data():
+        return synthetic_batches(batch_size=8, target_frames=2, size=128, seed=3)
+
+    state = trainer.fit(data())
+    assert int(jax.device_get(state.step)) == 2
+    assert any(f.startswith("events") for f in os.listdir(tb))
+
+    # Re-run the underlying DP step once to inspect the packed tree directly.
+    images, future = next(data())
+    from skillful_nowcasting_tpu.parallel import batch_sharding
+
+    batch = jax.device_put(
+        (images, future), batch_sharding(trainer.mesh)
+    )
+    # Size accounting BEFORE the call: train_step donates the state buffers.
+    total = sum(x.size for x in jax.tree.leaves(state.params))
+    _, metrics = trainer.train_step(state, *batch, jax.random.key(9))
+    hists = jax.device_get(metrics["train/hist"])
+    got = sum(
+        int(h["counts"].sum())
+        for k, h in hists.items()
+        if k.startswith("train/hist/params/")
+    )
+    assert got == total
+    grad_total = sum(
+        int(h["counts"].sum())
+        for k, h in hists.items()
+        if k.startswith("train/hist/grads/")
+    )
+    assert grad_total == total  # G grads + D grads together cover all params
+    for h in hists.values():
+        assert np.isfinite(h["sum"]) and np.isfinite(h["sumsq"])
