@@ -4,7 +4,12 @@ from .crops import random_crop_batches
 from .mrms import MRMSSequences, mrms_tiles, open_zarr
 from .nimrod import DGMRDataModule, NimrodStream, batch_windows
 from .prefetch import prefetch_to_device
-from .synthetic import synthetic_batches, synthetic_radar_batches
+from .synthetic import (
+    blob_fields,
+    synthetic_batches,
+    synthetic_radar_batches,
+    synthetic_radar_batches_device,
+)
 from .windows import (
     NUM_INPUT_FRAMES,
     NUM_TARGET_FRAMES,
@@ -23,6 +28,8 @@ __all__ = [
     "open_zarr",
     "prefetch_to_device",
     "random_crop_batches",
+    "blob_fields",
     "synthetic_batches",
     "synthetic_radar_batches",
+    "synthetic_radar_batches_device",
 ]

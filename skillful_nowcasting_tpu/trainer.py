@@ -31,6 +31,17 @@ from .parallel import (
 from .training import TrainState, init_train_state
 
 
+def _host_scalars(metrics: dict) -> dict:
+    """Fetch all scalar metrics in ONE ``device_get`` (one tunnel round-trip).
+
+    Per-metric ``float(v)`` calls block once per value — on remote-tunnel
+    backends that is one full round-trip each (see ``_validate``, where the
+    same batching is applied per validation batch).
+    """
+    scalars = {k: v for k, v in metrics.items() if np.ndim(v) == 0}
+    return {k: float(v) for k, v in jax.device_get(scalars).items()}
+
+
 class Trainer:
     """Minimal-deps Trainer for the DGMR GAN on a device mesh."""
 
@@ -52,6 +63,7 @@ class Trainer:
         dp_mode: str = "shard_map",
         on_checkpoint=None,
         prefetch: int = 2,
+        transfer_dtype=None,
         watch_gradients: bool = False,
         watch_histograms: bool = False,
         compute_dtype=None,
@@ -71,6 +83,10 @@ class Trainer:
         # thread (the reference DataLoader's worker/pin_memory role,
         # train/run.py:186-215); 0 disables and stages synchronously.
         self.prefetch = prefetch
+        # Optional host-side cast before staging (e.g. jnp.bfloat16): halves
+        # host->device bytes on link-limited hosts.  Quantizes inputs — see
+        # data/prefetch.py for the exactness contract.
+        self.transfer_dtype = transfer_dtype
         # Called as on_checkpoint(step, ckpt_dir) after each save — the
         # reference's wandb checkpoint-artifact callback slot
         # (train/run.py:52-111).
@@ -144,7 +160,10 @@ class Trainer:
             from .parallel import batch_sharding
 
             train_iter = prefetch_to_device(
-                train_iter, size=self.prefetch, sharding=batch_sharding(self.mesh)
+                train_iter,
+                size=self.prefetch,
+                sharding=batch_sharding(self.mesh),
+                transfer_dtype=self.transfer_dtype,
             )
         init_images, init_future = next(train_iter)
         if init_state is not None:
@@ -187,9 +206,7 @@ class Trainer:
                 hists = metrics.pop("train/hist", None) if isinstance(metrics, dict) else None
 
                 if self.log_every and (step + 1) % self.log_every == 0:
-                    host = {
-                        k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
-                    }
+                    host = _host_scalars(metrics)
                     dt = (time.time() - t_log) / self.log_every
                     host["train/steps_per_sec"] = 1.0 / max(dt, 1e-9)
                     self.logger.log_scalars(host, step + 1)
@@ -215,9 +232,7 @@ class Trainer:
                     self._validate(state, val_iter, rng, step + 1)
 
                 if self.manager is not None and (step + 1) % self.ckpt_every == 0:
-                    scalar_metrics = {
-                        k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
-                    }
+                    scalar_metrics = _host_scalars(metrics)
                     save_state(self.manager, step + 1, state, rng, scalar_metrics)
                     save_state(self.best_manager, step + 1, state, rng, scalar_metrics)
                     if self.on_checkpoint is not None:
@@ -227,9 +242,7 @@ class Trainer:
         finally:
             if self.manager is not None:
                 self.manager.wait_until_finished()
-                scalar_metrics = {
-                    k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
-                }
+                scalar_metrics = _host_scalars(metrics)
                 # Label the emergency save with the number of steps that
                 # actually COMPLETED (state.step), not the loop counter — a
                 # SIGTERM landing mid-step would otherwise save state from

@@ -341,3 +341,119 @@ def test_dgmr_datamodule_local_parquet(nimrod_fixture):
     assert future.shape == (2, NUM_TARGET_FRAMES, 8, 8, 1)
     vi, vf = next(dm.val_dataloader())
     assert vi.shape == (2, NUM_INPUT_FRAMES, 8, 8, 1)
+
+
+def test_synthetic_radar_matches_scalar_reference():
+    """The separable (outer-product) advecting-blob generator matches the
+    original per-(t, blob) scalar-loop formulation to float32 roundoff (same
+    RNG draw order, same accumulation order over blobs; exp(a+b) vs
+    exp(a)*exp(b) differ in the last ulp, so equality is allclose)."""
+    from skillful_nowcasting_tpu.data import synthetic_radar_batches
+
+    kw = dict(batch_size=2, input_frames=2, target_frames=3, size=32, seed=7, n_blobs=4)
+    images, future = next(synthetic_radar_batches(**kw))
+
+    # Scalar-loop reference (the pre-vectorization implementation, inlined).
+    rng = np.random.default_rng(kw["seed"])
+    t_total = kw["input_frames"] + kw["target_frames"]
+    size = kw["size"]
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    seq = np.zeros((kw["batch_size"], t_total, size, size, 1), np.float32)
+    for b in range(kw["batch_size"]):
+        pos = rng.uniform(0, size, (kw["n_blobs"], 2))
+        vel = rng.uniform(-3.0, 3.0, (kw["n_blobs"], 2))
+        sigma = rng.uniform(size / 32, size / 8, kw["n_blobs"])
+        amp = rng.uniform(2.0, 12.0, kw["n_blobs"])
+        for t in range(t_total):
+            field = np.zeros((size, size), np.float32)
+            for k in range(kw["n_blobs"]):
+                cy = (pos[k, 0] + vel[k, 0] * t) % size
+                cx = (pos[k, 1] + vel[k, 1] * t) % size
+                dy = np.minimum(np.abs(yy - cy), size - np.abs(yy - cy))
+                dx = np.minimum(np.abs(xx - cx), size - np.abs(xx - cx))
+                field += amp[k] * np.exp(-(dy * dy + dx * dx) / (2 * sigma[k] ** 2))
+            seq[b, t, :, :, 0] = field
+    np.testing.assert_allclose(images, seq[:, : kw["input_frames"]], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(future, seq[:, kw["input_frames"] :], rtol=1e-5, atol=1e-5)
+    assert images.dtype == np.float32 and future.max() > 1.0
+
+
+def test_blob_fields_device_matches_host_math():
+    """The on-device separable-Gaussian core agrees with the host generator's
+    math for identical blob parameters (f32 device vs f64 host, so 1e-4)."""
+    import jax.numpy as jnp
+
+    from skillful_nowcasting_tpu.data import blob_fields
+
+    rng = np.random.default_rng(3)
+    B, K, T, S = 2, 3, 4, 16
+    pos = rng.uniform(0, S, (B, K, 2))
+    vel = rng.uniform(-3, 3, (B, K, 2))
+    sigma = rng.uniform(S / 32, S / 8, (B, K))
+    amp = rng.uniform(2, 12, (B, K))
+
+    out = np.asarray(
+        blob_fields(
+            jnp.asarray(pos, jnp.float32),
+            jnp.asarray(vel, jnp.float32),
+            jnp.asarray(sigma, jnp.float32),
+            jnp.asarray(amp, jnp.float32),
+            T,
+            S,
+        )
+    )
+    assert out.shape == (B, T, S, S, 1)
+
+    axis = np.arange(S)
+    expect = np.zeros((B, T, S, S))
+    for b in range(B):
+        for t in range(T):
+            for k in range(K):
+                cy = (pos[b, k, 0] + vel[b, k, 0] * t) % S
+                cx = (pos[b, k, 1] + vel[b, k, 1] * t) % S
+                dy = np.minimum(np.abs(axis - cy), S - np.abs(axis - cy))
+                dx = np.minimum(np.abs(axis - cx), S - np.abs(axis - cx))
+                g = np.exp(-(dy[:, None] ** 2 + dx[None, :] ** 2) / (2 * sigma[b, k] ** 2))
+                expect[b, t] += amp[b, k] * g
+    np.testing.assert_allclose(out[..., 0], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_synthetic_radar_device_iterator():
+    import jax
+
+    from skillful_nowcasting_tpu.data import synthetic_radar_batches_device
+
+    it = synthetic_radar_batches_device(
+        batch_size=2, input_frames=2, target_frames=3, size=16, seed=11
+    )
+    images, future = next(it)
+    assert isinstance(images, jax.Array) and isinstance(future, jax.Array)
+    assert images.shape == (2, 2, 16, 16, 1)
+    assert future.shape == (2, 3, 16, 16, 1)
+    assert float(future.max()) > 1.0  # mm/h-like scale, same as host generator
+    # Deterministic stream per seed.
+    i2, _ = next(
+        synthetic_radar_batches_device(
+            batch_size=2, input_frames=2, target_frames=3, size=16, seed=11
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(images), np.asarray(i2))
+
+
+def test_prefetch_transfer_dtype():
+    import jax
+    import jax.numpy as jnp
+
+    from skillful_nowcasting_tpu.data import prefetch_to_device
+
+    batches = [
+        (np.ones((2, 4), np.float32) * 1.00390625, np.arange(4, dtype=np.int32))
+    ]
+    (x, idx), = list(prefetch_to_device(iter(batches), transfer_dtype=jnp.bfloat16))
+    assert x.dtype == jnp.bfloat16  # halved transfer bytes
+    assert idx.dtype == jnp.int32  # non-float leaves untouched
+    # Committed device arrays pass through uncast (no host round-trip).
+    dev = [(jnp.ones((2, 2), jnp.float32), np.zeros(2, np.float32))]
+    (d, h), = list(prefetch_to_device(iter(dev), transfer_dtype=jnp.bfloat16))
+    assert d.dtype == jnp.float32
+    assert h.dtype == jnp.bfloat16

@@ -41,9 +41,22 @@ def parse_args():
     )
     p.add_argument(
         "--synthetic-kind",
-        choices=["noise", "radar"],
+        choices=["noise", "radar", "radar-device"],
         default="noise",
-        help="noise = i.i.d. uniform; radar = advecting Gaussian rain cells (learnable)",
+        help=(
+            "noise = i.i.d. uniform; radar = advecting Gaussian rain cells "
+            "(learnable); radar-device = same model rendered on-device "
+            "(zero host->device data traffic)"
+        ),
+    )
+    p.add_argument(
+        "--transfer-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help=(
+            "dtype batches are staged to the device in; bfloat16 halves "
+            "host->device bytes (quantizes inputs — see data/prefetch.py)"
+        ),
     )
     p.add_argument(
         "--no-logging-forward",
@@ -109,6 +122,7 @@ def main():
         DGMRDataModule,
         synthetic_batches,
         synthetic_radar_batches,
+        synthetic_radar_batches_device,
     )
     from skillful_nowcasting_tpu.parallel import init_distributed, make_mesh
     from skillful_nowcasting_tpu.trainer import Trainer
@@ -127,7 +141,11 @@ def main():
     )
 
     if args.synthetic:
-        gen = synthetic_radar_batches if args.synthetic_kind == "radar" else synthetic_batches
+        gen = {
+            "noise": synthetic_batches,
+            "radar": synthetic_radar_batches,
+            "radar-device": synthetic_radar_batches_device,
+        }[args.synthetic_kind]
         train_iter = gen(
             batch_size=args.batch_size,
             target_frames=args.forecast_steps,
@@ -166,6 +184,9 @@ def main():
         val_skill=args.val_skill,
         compute_dtype=(
             jax.numpy.bfloat16 if args.compute_dtype == "bfloat16" else None
+        ),
+        transfer_dtype=(
+            jax.numpy.bfloat16 if args.transfer_dtype == "bfloat16" else None
         ),
         rollout_remat={"rollout": True, "save_names": "save_names", "none": False}[
             args.remat
