@@ -10,10 +10,20 @@ paper-config inference on CPU, measured once here and cached in
 better; north star >= 5x).
 
 Knobs: ``BENCH_BATCH`` (default 16), ``BENCH_ITERS`` (default 8),
-``BENCH_SKIP_REF=1`` to skip the torch baseline measurement,
-``BENCH_BF16=0`` to skip the bf16 pass, ``BENCH_TRAIN=1`` to also measure
-the paper-config GAN train step (``BENCH_TRAIN_BATCH``, default 16) —
-train numbers go to stderr; the JSON line stays the inference metric.
+``BENCH_CHAINS`` (default 3) timing chains — the headline is the BEST chain
+(tunnel-noise defense, VERDICT r3 weak #2) with the full per-chain list and
+a congestion flag recorded in the JSON; ``BENCH_SKIP_REF=1`` to skip the
+torch baseline measurement, ``BENCH_BF16=0`` to skip the bf16 pass,
+``BENCH_TRAIN=1`` to also measure the paper-config GAN train step
+(``BENCH_TRAIN_BATCH``, default 16) — train numbers go to stderr; the JSON
+line stays the inference metric.
+
+Two baselines are reported: ``vs_baseline`` divides by a PINNED reference
+measurement (BASELINE.md round-2 table: torch-CPU 1.011 frames/s as-is on a
+multi-core host — the reference's best recorded showing, so the ratio is
+conservative and round-to-round comparable), and ``vs_baseline_live`` by a
+fresh same-host torch run (host-dependent: round 3's 1-core host measured
+0.599 f/s, which silently inflated the old ratio — VERDICT r3 weak #2).
 """
 
 from __future__ import annotations
@@ -27,6 +37,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(
 
 REF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_ref.json")
 
+# Pinned reference baseline (BASELINE.md "Measured reference numbers"):
+# torch-CPU paper-config inference measured in round 2 on a multi-core host.
+# Pinning keeps vs_baseline comparable across rounds regardless of how many
+# cores / how much load the bench host has on a given day.
+PINNED_REF_FPS = 1.011  # detect_anomaly on (as shipped)
+PINNED_REF_FPS_CLEAN = 1.175  # detect_anomaly off
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -37,12 +54,17 @@ V5E_BF16_PEAK_TFLOPS = 197.0  # v5e MXU peak (bf16); f32 numbers are reported
 
 
 def measure_ours(batch: int, iters: int, dtype_name: str = "float32"):
-    """Device throughput via a scanned chain of ``iters`` forwards.
+    """Device throughput via scanned chains of ``iters`` forwards.
 
     All ``iters`` forwards run inside ONE jitted program whose (tiny) output
     is fetched to the host — this forces full synchronization.  Per-call
     ``block_until_ready`` is NOT trustworthy on remote-tunnel backends (it
     returns before execution completes), which silently under-reports time.
+
+    Noise defense (VERDICT r3 weak #2): ``BENCH_CHAINS`` (default 3) timing
+    chains are run and the BEST one is the reported number — through the
+    shared axon tunnel a single chain can absorb another tenant's transfer.
+    Returns ``(fps_best, flops, chain_seconds, congestion_suspect)``.
     """
     import jax
     import jax.numpy as jnp
@@ -72,13 +94,30 @@ def measure_ours(batch: int, iters: int, dtype_name: str = "float32"):
     x = jax.random.uniform(jax.random.key(7), (batch, 4, 256, 256, 1), dtype)
     t0 = time.time()
     np.asarray(forward_chain(variables, x, jax.random.key(1)))
-    log(f"[{dtype_name}] compile+first chain ({iters} fwd): {time.time() - t0:.1f}s")
+    first = time.time() - t0
+    log(f"[{dtype_name}] compile+first chain ({iters} fwd): {first:.1f}s")
 
-    t0 = time.time()
-    np.asarray(forward_chain(variables, x, jax.random.key(2)))
-    dt = (time.time() - t0) / iters
+    n_chains = max(1, int(os.environ.get("BENCH_CHAINS", "3")))
+    chain_secs = []
+    for c in range(n_chains):
+        t0 = time.time()
+        np.asarray(forward_chain(variables, x, jax.random.key(2 + c)))
+        chain_secs.append(time.time() - t0)
+    best = min(chain_secs)
+    spread = (max(chain_secs) - best) / best if best else 0.0
+    # Congestion signature (CLAUDE.md): warm-cache compile+first should be a
+    # few seconds of cache-load + one chain; chain-to-chain spread should be
+    # small.  Either symptom means another tunnel tenant is interleaving.
+    congestion = spread > 0.25 or first > max(6 * best, 20.0)
+    dt = best / iters
     fps = batch * model.forecast_steps / dt
-    log(f"[{dtype_name}] ours: {dt*1000:.1f} ms/forward (B={batch}) -> {fps:.2f} frames/sec/chip")
+    log(
+        f"[{dtype_name}] chains: "
+        + ", ".join(f"{s:.2f}s" for s in chain_secs)
+        + f" (spread {100*spread:.0f}%)"
+        + (" — CONGESTION SUSPECTED, numbers are a lower bound" if congestion else "")
+    )
+    log(f"[{dtype_name}] ours: {dt*1000:.1f} ms/forward (B={batch}) -> {fps:.2f} frames/sec/chip (best of {n_chains})")
 
     # MFU: XLA's own FLOP count for ONE forward (compiler cost analysis of a
     # single-forward program; cached in the persistent compile cache).
@@ -102,7 +141,7 @@ def measure_ours(batch: int, iters: int, dtype_name: str = "float32"):
             f"effective = {100*tfs/V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak "
             f"({V5E_BF16_PEAK_TFLOPS:.0f} TF/s)"
         )
-    return fps, flops
+    return fps, flops, chain_secs, congestion
 
 
 def measure_ours_train(batch: int, iters: int = 4, dtype_name: str = "float32") -> float:
@@ -146,16 +185,39 @@ def measure_ours_train(batch: int, iters: int = 4, dtype_name: str = "float32") 
     float(metrics["train/g_loss"])  # force
     log(f"[train B={batch} {dtype_name} remat={rollout_remat}] compile+first step: {time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    for i in range(iters):
-        state, metrics = step(state, images, future, jax.random.key(2 + i))
-    g = float(metrics["train/g_loss"])  # forces the whole chain
-    dt = (time.time() - t0) / iters
+    n_chains = max(1, int(os.environ.get("BENCH_CHAINS", "3")))
+    chain_secs = []
+    for c in range(n_chains):
+        t0 = time.time()
+        for i in range(iters):
+            state, metrics = step(state, images, future, jax.random.key(2 + c * iters + i))
+        g = float(metrics["train/g_loss"])  # forces the whole chain
+        chain_secs.append(time.time() - t0)
+    dt = min(chain_secs) / iters
     sps = 1.0 / dt
     log(
-        f"[train B={batch} {dtype_name}] {dt*1000:.0f} ms/step -> {sps:.3f} steps/sec, "
-        f"{batch * sps:.2f} samples/sec/chip (g_loss={g:.3f})"
+        "[train] chains: " + ", ".join(f"{s:.2f}s" for s in chain_secs)
     )
+    log(
+        f"[train B={batch} {dtype_name}] {dt*1000:.0f} ms/step -> {sps:.3f} steps/sec, "
+        f"{batch * sps:.2f} samples/sec/chip (g_loss={g:.3f}, best of {n_chains})"
+    )
+
+    # Train-step MFU from XLA's own cost analysis (VERDICT r3 weak #3).
+    try:
+        cost = step.lower(state, images, future, jax.random.key(1)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            tfs = flops / dt / 1e12
+            log(
+                f"[train B={batch} {dtype_name}] MFU: {flops/1e12:.2f} TFLOPs/step "
+                f"(XLA cost analysis incl. remat recompute), {tfs:.1f} TF/s effective "
+                f"= {100*tfs/V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak"
+            )
+    except Exception as e:  # noqa: BLE001 — donated buffers / backend-dependent
+        log(f"[train] cost analysis unavailable: {type(e).__name__}: {e}")
     return sps
 
 
@@ -219,15 +281,18 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
-    ours_f32, flops = measure_ours(batch, iters, "float32")
+    ours_f32, flops, chains_f32, cong_f32 = measure_ours(batch, iters, "float32")
     ours, ours_bf16, headline_dtype = ours_f32, None, "float32"
+    chains_bf16, cong_bf16 = None, False
     if os.environ.get("BENCH_BF16", "1") != "0":
         try:
             # bf16 is the serving configuration (f32 is the parity mode; see
             # README "Numerical parity" and scripts/parity_tpu.py) — report
             # the faster of the two as the headline number, dtype-labeled in
             # the JSON line.
-            ours_bf16, flops_bf16 = measure_ours(batch, iters, "bfloat16")
+            ours_bf16, flops_bf16, chains_bf16, cong_bf16 = measure_ours(
+                batch, iters, "bfloat16"
+            )
             flops = flops or flops_bf16
             if ours_bf16 > ours:
                 ours, headline_dtype = ours_bf16, "bfloat16"
@@ -256,12 +321,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"train measurement failed (B={train_batch}): {type(e).__name__}: {e}")
 
-    vs = vs_clean = ref_fps = ref_fps_clean = None
+    vs_live = ref_fps = ref_fps_clean = None
     if os.environ.get("BENCH_SKIP_REF") != "1":
         try:
             ref_fps, ref_fps_clean = measure_reference()
-            vs = ours / ref_fps if ref_fps else None
-            vs_clean = ours / ref_fps_clean if ref_fps_clean else None
+            vs_live = ours / ref_fps if ref_fps else None
         except Exception as e:  # noqa: BLE001
             log(f"reference measurement failed: {type(e).__name__}: {e}")
 
@@ -269,22 +333,29 @@ def main() -> None:
         return round(x, nd) if x is not None else None
 
     # Self-describing JSON (ADVICE r2): the headline value carries its dtype,
-    # both dtype measurements, and both reference variants (the reference
-    # ctor force-enables torch detect_anomaly, quirk Q8 — BASELINE.md reports
-    # the baseline two-sided).
+    # both dtype measurements, per-chain timings + a congestion flag (VERDICT
+    # r3 weak #2), and both reference baselines — PINNED (round-2 multi-core
+    # host, cross-round comparable; the denominator of vs_baseline) and LIVE
+    # same-host (the reference ctor force-enables torch detect_anomaly,
+    # quirk Q8 — reported two-sided per BASELINE.md).
     print(
         json.dumps(
             {
                 "metric": "nowcast frames/sec/chip (18-step 256^2 ensemble)",
                 "value": r(ours),
                 "unit": "frames/sec/chip",
-                "vs_baseline": r(vs),
+                "vs_baseline": r(ours / PINNED_REF_FPS),
                 "dtype": headline_dtype,
                 "value_float32": r(ours_f32),
                 "value_bfloat16": r(ours_bf16),
-                "ref_frames_per_sec_detect_anomaly_on": r(ref_fps),
-                "ref_frames_per_sec_detect_anomaly_off": r(ref_fps_clean),
-                "vs_baseline_detect_anomaly_off": r(vs_clean),
+                "chain_seconds_float32": [r(s) for s in chains_f32],
+                "chain_seconds_bfloat16": [r(s) for s in chains_bf16] if chains_bf16 else None,
+                "congestion_suspect": bool(cong_f32 or cong_bf16),
+                "pinned_ref_frames_per_sec": PINNED_REF_FPS,
+                "vs_baseline_detect_anomaly_off": r(ours / PINNED_REF_FPS_CLEAN),
+                "ref_frames_per_sec_live": r(ref_fps),
+                "ref_frames_per_sec_live_detect_anomaly_off": r(ref_fps_clean),
+                "vs_baseline_live": r(vs_live),
             }
         )
     )
