@@ -98,6 +98,7 @@ def blob_fields(pos, vel, sigma, amp, t_total: int, size: int):
     around separable Gaussians); the blob sum is expressed as an einsum
     contraction over K so XLA lowers it onto the MXU.
     """
+    import jax
     import jax.numpy as jnp
 
     t = jnp.arange(t_total, dtype=jnp.float32)  # (T,)
@@ -111,7 +112,13 @@ def blob_fields(pos, vel, sigma, amp, t_total: int, size: int):
     inv = (1.0 / (2.0 * sigma**2))[:, :, None, None]  # (B, K, 1, 1)
     ey = amp[:, :, None, None] * jnp.exp(-(dy * dy) * inv)
     ex = jnp.exp(-(dx * dx) * inv)
-    field = jnp.einsum("bkty,bktx->btyx", ey, ex)
+    # HIGHEST precision: at the TPU default the einsum inputs are truncated
+    # to bf16, which would put device-rendered fields bf16-far from the host
+    # model (the 1e-4 host-parity test runs on f32 CPU; ADVICE r3).  The K
+    # contraction is tiny, so the full-precision path costs nothing.
+    field = jnp.einsum(
+        "bkty,bktx->btyx", ey, ex, precision=jax.lax.Precision.HIGHEST
+    )
     return field[..., None]
 
 
@@ -132,8 +139,13 @@ def synthetic_radar_batches_device(
     program directly in HBM.  On remote-tunnel hosts — where each paper-
     config batch is ~90 MB of host->device traffic that serializes with
     compute — this removes the data path from the step time entirely.
-    Yields committed device arrays; ``prefetch_to_device`` treats them as
-    a no-op placement.
+    Yields committed device arrays; under a 1-device mesh the Trainer's
+    ``prefetch_to_device`` placement is a no-op, under a >1-device
+    single-process mesh it is a cheap device-to-device reshard (render lands
+    on one device, the batch sharding spans the mesh — no host traffic).
+    Single-process meshes only: in a multi-process mesh ``device_put`` to
+    non-addressable devices would fail (ADVICE r3) — use the host generator
+    per process there.
     """
     import functools
 

@@ -85,7 +85,10 @@ class Trainer:
         self.prefetch = prefetch
         # Optional host-side cast before staging (e.g. jnp.bfloat16): halves
         # host->device bytes on link-limited hosts.  Quantizes inputs — see
-        # data/prefetch.py for the exactness contract.
+        # data/prefetch.py for the exactness contract.  Applies to TRAIN
+        # batches only: validation batches (_validate -> shard_batch) stage
+        # at full precision, so val metrics see unquantized inputs while
+        # training sees transfer_dtype-quantized ones (deliberate; ADVICE r3).
         self.transfer_dtype = transfer_dtype
         # Called as on_checkpoint(step, ckpt_dir) after each save — the
         # reference's wandb checkpoint-artifact callback slot
