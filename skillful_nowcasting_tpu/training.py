@@ -251,10 +251,38 @@ def desaturate_discriminator(params: Mapping[str, Any], factor: float = 0.01) ->
     hinge branches are active and gradients flow through the full D tower.
     Used by the multichip dryrun and the DP-equivalence tests so a dead
     discriminator path (e.g. a misplaced ``stop_gradient``) cannot pass.
+
+    The pre-classifier BatchNorms are located by tree search (any subtree
+    under ``discriminator`` whose path ends in a module named ``bn`` holding a
+    ``scale`` leaf) rather than hard-coded paths, so a rename in the D heads
+    fails loudly here instead of silently skipping the desaturation
+    (VERDICT r3 weak #6).
     """
     params = jax.tree.map(lambda x: x, params)  # rebuild dicts, keep leaves
-    for head in ("spatial_discriminator", "temporal_discriminator"):
-        bn = params["discriminator"][head]["bn"]
+    if "discriminator" not in params:
+        raise KeyError(
+            f"no 'discriminator' subtree; top-level keys: {sorted(params)}"
+        )
+
+    hits = []
+
+    def rec(tree, path):
+        if not isinstance(tree, Mapping):
+            return
+        if path and path[-1] == "bn" and "scale" in tree:
+            hits.append((path, tree))
+            return
+        for k, v in tree.items():
+            rec(v, path + (k,))
+
+    rec(params["discriminator"], ("discriminator",))
+    if len(hits) != 2:
+        raise KeyError(
+            "expected exactly 2 pre-classifier BatchNorm ('bn') nodes under "
+            f"'discriminator' (spatial + temporal heads), found {len(hits)}: "
+            f"{['/'.join(p) for p, _ in hits]}"
+        )
+    for _, bn in hits:
         bn["scale"] = bn["scale"] * factor
     return params
 

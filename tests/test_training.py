@@ -284,3 +284,60 @@ def test_sampler_train_t_chunks_exact():
             np.asarray(a), np.asarray(c), rtol=2e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(p),
         )
+
+
+def test_desaturate_discriminator_tree_search():
+    """BN nodes are found by tree search, not hard-coded paths (VERDICT r3 #6)."""
+    from skillful_nowcasting_tpu.training import desaturate_discriminator
+
+    params = {
+        "discriminator": {
+            "spatial_discriminator": {
+                "bn": {"scale": np.ones(3), "bias": np.zeros(3)},
+                "conv": {"kernel": np.ones(2)},
+            },
+            # nested one level deeper than the current layout — must still hit
+            "temporal_discriminator": {"head": {"bn": {"scale": np.full(3, 2.0)}}},
+        },
+        "sampler": {"bn": {"scale": np.ones(3)}},
+    }
+    out = desaturate_discriminator(params, factor=0.5)
+    np.testing.assert_allclose(
+        out["discriminator"]["spatial_discriminator"]["bn"]["scale"], 0.5
+    )
+    np.testing.assert_allclose(
+        out["discriminator"]["temporal_discriminator"]["head"]["bn"]["scale"], 1.0
+    )
+    # non-discriminator subtrees and the input tree are untouched
+    np.testing.assert_allclose(out["sampler"]["bn"]["scale"], 1.0)
+    np.testing.assert_allclose(
+        params["discriminator"]["spatial_discriminator"]["bn"]["scale"], 1.0
+    )
+
+
+def test_desaturate_discriminator_fails_loudly():
+    """A rename in the D heads raises instead of silently skipping (VERDICT r3 #6)."""
+    from skillful_nowcasting_tpu.training import desaturate_discriminator
+
+    with pytest.raises(KeyError, match="discriminator"):
+        desaturate_discriminator({"generator": {}})
+
+    # one head renamed its bn -> only 1 hit -> loud failure listing candidates
+    params = {
+        "discriminator": {
+            "spatial_discriminator": {"bn": {"scale": np.ones(3)}},
+            "temporal_discriminator": {"batch_norm": {"scale": np.ones(3)}},
+        }
+    }
+    with pytest.raises(KeyError, match="found 1"):
+        desaturate_discriminator(params)
+
+
+def test_tower_depths_excluded_from_hub_config():
+    """num_spatial/temporal_layers shrink test configs but are NOT hparams:
+    the hub config contract matches the reference's save_hyperparameters set
+    (reference dgmr.py:72-107)."""
+    m = DGMR(output_shape=64, num_spatial_layers=2, num_temporal_layers=2)
+    cfg = m.config
+    assert "num_spatial_layers" not in cfg
+    assert "num_temporal_layers" not in cfg
