@@ -71,6 +71,14 @@ class DGMR(nn.Module, HubMixin):
     context_channels: int = 384
     generation_steps: int = 6
     precip_weight_cap: float = 24.0
+    # Discriminator tower depths — fixed at 4/3 in the reference
+    # (``discriminators.py:158,55``).  Exposed so small test/dryrun configs
+    # (e.g. 64² inputs, which only admit 2 halvings per tower) can shrink the
+    # program; deliberately NOT in ``HPARAM_FIELDS`` (the hub config contract
+    # matches the reference's hparams exactly), so non-default values do not
+    # survive a save/from_pretrained round-trip.
+    num_spatial_layers: int = 4
+    num_temporal_layers: int = 3
 
     def setup(self):
         self.conditioning_stack = ContextConditioningStack(
@@ -95,7 +103,10 @@ class DGMR(nn.Module, HubMixin):
             name="sampler",
         )
         self.discriminator = Discriminator(
-            input_channels=self.input_channels, name="discriminator"
+            input_channels=self.input_channels,
+            num_spatial_layers=self.num_spatial_layers,
+            num_temporal_layers=self.num_temporal_layers,
+            name="discriminator",
         )
 
     def __call__(

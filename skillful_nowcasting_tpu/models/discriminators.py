@@ -154,16 +154,23 @@ class Discriminator(nn.Module, HubMixin):
     input_channels: int = 12
     num_spatial_frames: int = 8
     conv_type: str = "standard"
+    # Tower depths (reference fixes these at 4/3, ``discriminators.py:158,55``).
+    # Non-default values shrink the towers for small test/dryrun configs
+    # (input 64² needs ≤2/≤2); they are NOT part of the hub config contract.
+    num_spatial_layers: int = 4
+    num_temporal_layers: int = 3
 
     def setup(self):
         self.spatial_discriminator = SpatialDiscriminator(
             input_channels=self.input_channels,
             num_timesteps=self.num_spatial_frames,
+            num_layers=self.num_spatial_layers,
             conv_type=self.conv_type,
             name="spatial_discriminator",
         )
         self.temporal_discriminator = TemporalDiscriminator(
             input_channels=self.input_channels,
+            num_layers=self.num_temporal_layers,
             conv_type=self.conv_type,
             name="temporal_discriminator",
         )

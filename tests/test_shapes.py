@@ -58,3 +58,16 @@ def test_discriminator_score_shapes(cls, score_dim):
     out = disc.apply(variables, x, rngs={"frames": jax.random.key(2)})
     assert out.shape == (2, score_dim, 1)
     assert not bool(jnp.isnan(out).any())
+
+
+def test_discriminator_shrunk_towers_64():
+    """Tower depths are configurable (reference fixes 4/3, discriminators.py:158,55);
+    2/2 towers admit 64² inputs — the multichip dryrun's config."""
+    disc = Discriminator(input_channels=1, num_spatial_layers=2, num_temporal_layers=2)
+    x = jnp.zeros((2, 8, 64, 64, 1))
+    variables = jax.jit(disc.init)(
+        {"params": jax.random.key(0), "frames": jax.random.key(1)}, x
+    )
+    out = disc.apply(variables, x, rngs={"frames": jax.random.key(2)})
+    assert out.shape == (2, 2, 1)
+    assert not bool(jnp.isnan(out).any())
