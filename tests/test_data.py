@@ -1,5 +1,7 @@
 """Data pipeline tests (offline): windows, batching, prefetch, synthetic."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -457,3 +459,37 @@ def test_prefetch_transfer_dtype():
     (d, h), = list(prefetch_to_device(iter(dev), transfer_dtype=jnp.bfloat16))
     assert d.dtype == jnp.float32
     assert h.dtype == jnp.bfloat16
+
+
+def test_published_contract_gap_is_visible():
+    """Permanent visibility marker (VERDICT r3 item 7): the published-weight
+    parity gauntlet and the LIVE nimrod-uk-1km stream smoke cannot run in
+    this offline environment.  This skip keeps the gap on every test report;
+    on a networked machine, close it with ONE command:
+
+        python scripts/verify_pretrained.py --out verify_pretrained.json
+
+    (exit 0 = all five hub repos reproduce the torch reference <= 1e-3 AND a
+    live stream batch arrived; 3 = fully offline; 4 = stream ok, hub blocked.)
+    """
+    import socket
+
+    try:
+        socket.create_connection(("huggingface.co", 443), timeout=2).close()
+    except OSError:
+        pytest.skip(
+            "no network: published-weight parity + live-stream smoke pending; "
+            "run `python scripts/verify_pretrained.py` on a networked machine"
+        )
+    # Network exists: the gauntlet must actually be run (and pass) now.
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), os.pardir,
+                                       "scripts", "verify_pretrained.py")],
+        capture_output=True, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, (
+        f"verify_pretrained.py rc={proc.returncode}\n{proc.stdout}\n{proc.stderr}"
+    )
