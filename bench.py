@@ -212,9 +212,22 @@ def measure_ours_train(batch: int, iters: int = 4, dtype_name: str = "float32") 
         if flops:
             tfs = flops / dt / 1e12
             log(
-                f"[train B={batch} {dtype_name}] MFU: {flops/1e12:.2f} TFLOPs/step "
-                f"(XLA cost analysis incl. remat recompute), {tfs:.1f} TF/s effective "
-                f"= {100*tfs/V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak"
+                f"[train B={batch} {dtype_name}] MFU (LOWER BOUND): "
+                f"{flops/1e12:.2f} TFLOPs/step by XLA cost analysis — scanned "
+                f"bodies (T-rollouts, D phase, sample loop) are counted ONCE, "
+                f"not per iteration, so this undercounts heavily; see "
+                f"docs/DESIGN.md train-step cost accounting (~15 forward-"
+                f"equivalents/step) for the honest estimate. "
+                f"{tfs:.1f} TF/s effective = {100*tfs/V5E_BF16_PEAK_TFLOPS:.1f}% "
+                f"of v5e bf16 peak by the undercounted figure"
+            )
+            fwd_eq = 15.0  # docs/DESIGN.md "Train-step cost accounting"
+            fwd_flops = 7.16e12 * batch / 16.0  # measured forward cost at B=16
+            tfs_est = fwd_eq * fwd_flops / dt / 1e12
+            log(
+                f"[train B={batch} {dtype_name}] MFU (fwd-equivalent estimate): "
+                f"~{fwd_eq * fwd_flops / 1e12:.0f} TFLOPs/step -> {tfs_est:.1f} TF/s "
+                f"= {100*tfs_est/V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak"
             )
     except Exception as e:  # noqa: BLE001 — donated buffers / backend-dependent
         log(f"[train] cost analysis unavailable: {type(e).__name__}: {e}")
