@@ -35,16 +35,22 @@ def make_generate(
     model,
     *,
     num_samples: Optional[int] = None,
-    shared_context: bool = True,
+    shared_context: bool = False,
     microbatch: Optional[int] = 16,
 ) -> Callable:
     """Jitted ensemble generation: ``(variables, x, rng) -> (S, B, T, H, W, C)``.
 
-    ``shared_context=True`` (default) computes the deterministic conditioning
-    stack once and folds the S samples into the sampler's batch axis
+    ``shared_context=True`` computes the deterministic conditioning stack
+    once and folds the S samples into the sampler's batch axis
     (``generate_ensemble``) — identical outputs, one context pass instead of
-    S.  Set ``False`` for the literal S-independent-forwards formulation
-    (lower peak memory at large ``S * B``).
+    S.  It defaults OFF because at paper scale the fold is a measured LOSS
+    (round 4, v5e bf16 S=6 B=16 256²): the S·B=96-wide conv batch sits in
+    the >16-element activation-spill regime no matter how it is chunked —
+    scan path 2994 member-frames/s vs ensemble fold 2006 (microbatch 16),
+    1853 (24), 1967 (48), 2065 (unchunked) — and the context stack it saves
+    is only ~14% of a forward.  The per-sample scan path instead repeats
+    the context pass but runs every sampler forward at the B=16 sweet spot.
+    Opt in for small models/sizes where S·B still fits the sweet spot.
 
     ``microbatch`` caps the TOTAL conv-batch elements processed per forward
     (``S * b_chunk`` on the shared-context ensemble path, ``b_chunk`` on
