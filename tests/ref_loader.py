@@ -9,8 +9,19 @@ minimal shims good enough for module construction.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    """A sys.modules-safe stub: carries a real ModuleSpec so later
+    importlib.util.find_spec(name) calls (e.g. huggingface datasets probing
+    torchvision) return the spec instead of raising
+    ``ValueError: <name>.__spec__ is None``."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
 
 
 def load_reference():
@@ -23,7 +34,7 @@ def load_reference():
         try:
             import pytorch_lightning  # noqa: F401
         except ImportError:
-            pl = types.ModuleType("pytorch_lightning")
+            pl = _stub_module("pytorch_lightning")
 
             class LightningModule(torch.nn.Module):
                 def __init_subclass__(cls, **kwargs):
@@ -62,7 +73,7 @@ def load_reference():
         try:
             import pytorch_msssim  # noqa: F401
         except ImportError:
-            msssim = types.ModuleType("pytorch_msssim")
+            msssim = _stub_module("pytorch_msssim")
 
             class _Unavailable(torch.nn.Module):
                 def __init__(self, **kwargs):
@@ -79,7 +90,7 @@ def load_reference():
         try:
             import torchvision  # noqa: F401
         except ImportError:
-            tv = types.ModuleType("torchvision")
+            tv = _stub_module("torchvision")
             tv.utils = types.SimpleNamespace(make_grid=lambda *a, **k: None)
             sys.modules["torchvision"] = tv
 
