@@ -241,6 +241,28 @@ def test_prefetch_with_sharding():
 # testable offline (reference behavior: train/run.py:126-215).
 
 
+def test_ref_stubs_do_not_poison_find_spec():
+    """Regression: ref_loader's dependency stubs must carry a ModuleSpec.
+
+    A bare ModuleType in sys.modules (``__spec__ is None``) makes
+    ``importlib.util.find_spec("torchvision")`` — which huggingface
+    ``datasets`` runs at import — raise ValueError, so the nimrod tests
+    errored whenever a torch-oracle parity test ran earlier in the same
+    process (round-4 full-suite run).
+    """
+    import importlib.util
+    import sys
+
+    from ref_loader import load_reference
+
+    load_reference()
+    for name in ("torchvision", "pytorch_lightning", "pytorch_msssim"):
+        if name in sys.modules:
+            # Must not raise, and a stub's spec must be the stub's own.
+            spec = importlib.util.find_spec(name)
+            assert spec is not None and spec.name == name
+
+
 @pytest.fixture(scope="module")
 def nimrod_fixture(tmp_path_factory):
     """4 parquet files x 2 rows, each row's frames filled with its row id."""
