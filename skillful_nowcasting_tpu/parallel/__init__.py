@@ -9,7 +9,7 @@ replicated, and gradient all-reduce inserted by XLA over ICI/DCN.
 
 from .mesh import batch_sharding, init_distributed, make_mesh, replicated_sharding
 from .dp import make_dp_eval_step, make_dp_generate, make_dp_train_step, shard_batch
-from .spatial import halo_conv2d, halo_exchange, make_spatial_conv
+from .spatial import halo_conv2d, halo_exchange, make_spatial_conv, make_spatial_forward
 
 __all__ = [
     "batch_sharding",
@@ -17,6 +17,7 @@ __all__ = [
     "halo_exchange",
     "init_distributed",
     "make_spatial_conv",
+    "make_spatial_forward",
     "make_dp_eval_step",
     "make_dp_generate",
     "make_dp_train_step",

@@ -97,3 +97,48 @@ def make_spatial_conv(mesh: Mesh, *, padding: int = 1, axis: str = "space"):
         in_shardings=(x_sharding, NamedSharding(mesh, P())),
         out_shardings=x_sharding,
     )
+
+
+def make_spatial_forward(
+    model,
+    mesh: Mesh,
+    *,
+    spatial_axis: str = "space",
+    batch_axis: Optional[str] = "data",
+):
+    """Whole-model generator forward with activations H-sharded via GSPMD.
+
+    The manual :func:`halo_conv2d` building blocks above prove the halo
+    pattern; this is the production path: jit ``model.apply`` with the NTHWC
+    input's H axis sharded over ``spatial_axis`` (and batch over
+    ``batch_axis``), parameters replicated, and let XLA's SPMD partitioner
+    insert the halo ``collective-permute``s for every conv in the pyramid —
+    the TPU-native equivalent of hand-written decomposition. Use it when one
+    field must evolve *jointly* under sharded convs (activation footprint
+    beyond one chip's HBM); for independent-tile serving
+    ``inference.tiled_nowcast_device`` is strictly cheaper (zero per-conv
+    communication, docs/DESIGN.md).
+
+    Returns ``fwd(variables, x, key) -> y`` with ``x``/``y``
+    ``(B, T, H, W, C)`` sharded ``P(batch_axis, None, spatial_axis)``.
+    Exactness vs the unsharded forward (same key; the latent draw is
+    layout-invariant under partitionable threefry) is pinned by
+    ``tests/test_parallel.py::test_spatial_forward_matches_dense``, which
+    also asserts the compiled module really contains cross-``space``
+    collectives rather than silently replicating.
+
+    Replaces the capability the reference lacks entirely (its 256² fields
+    fit one GPU; `/root/reference/dgmr/dgmr.py:132-135` is single-device).
+    """
+    io_spec = P(batch_axis, None, spatial_axis)
+    io_sharding = NamedSharding(mesh, io_spec)
+    replicated = NamedSharding(mesh, P())
+
+    def forward(variables, x, key):
+        return model.apply(variables, x, train=False, rngs={"latent": key})
+
+    return jax.jit(
+        forward,
+        in_shardings=(replicated, io_sharding, replicated),
+        out_shardings=io_sharding,
+    )

@@ -495,3 +495,45 @@ def test_dryrun_cache_key_golden():
         "re-run this suite (or `python __graft_entry__.py`) so the driver's "
         "persistent-cache entry is re-warmed before round end."
     )
+
+
+def test_spatial_forward_matches_dense():
+    """Whole-model GSPMD H-sharded forward: exact vs unsharded, really sharded.
+
+    `make_spatial_forward` jits the full generator with the input's H axis
+    sharded over the mesh's `space` axis; XLA's SPMD partitioner inserts the
+    per-conv halo exchange. Two assertions: (1) numerical equality with the
+    single-device forward under the same latent key (partitionable threefry
+    makes the z draw layout-invariant), (2) the compiled module contains
+    cross-device collectives — a silent everything-replicated partition would
+    also pass (1).
+    """
+    from skillful_nowcasting_tpu.parallel import make_spatial_forward
+    from skillful_nowcasting_tpu.utils import random_fill_variables
+    from skillful_nowcasting_tpu.hub.pretrained import abstract_variables
+
+    model = DGMR(**TINY)
+    variables = random_fill_variables(abstract_variables(model), jax.random.key(0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 4, 128, 128, 1), np.float32))
+    key = jax.random.key(7)
+
+    mesh = make_mesh(n_data=2, n_space=4)
+    fwd = make_spatial_forward(model, mesh)
+    lowered = fwd.lower(variables, x, key)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    assert any(
+        op in hlo for op in ("collective-permute", "all-gather", "all-to-all")
+    ), "SPMD partitioner emitted no cross-device collectives — spatial axis unused"
+    # Execute via the jit wrapper (handles input placement; reuses the
+    # compiled executable for these shapes).
+    y_sharded = np.asarray(fwd(variables, x, key))
+
+    y_dense = np.asarray(
+        jax.jit(lambda v, x, k: model.apply(v, x, train=False, rngs={"latent": k}))(
+            variables, x, key
+        )
+    )
+    assert y_sharded.shape == y_dense.shape == (2, 2, 128, 128, 1)
+    np.testing.assert_allclose(y_sharded, y_dense, rtol=2e-5, atol=2e-5)
