@@ -37,9 +37,13 @@ from .mesh import batch_sharding, replicated_sharding
 AXIS = "data"
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place an NTHWC batch (or tuple of batches) onto the data axis."""
-    sharding = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, *, spatial_axis: Optional[str] = None):
+    """Place an NTHWC batch (or tuple of batches) onto the data axis.
+
+    ``spatial_axis`` additionally shards the H axis over that mesh axis
+    (the 2D data x space layout for the GSPMD spatial train/eval modes).
+    """
+    sharding = batch_sharding(mesh, spatial_axis=spatial_axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
@@ -56,6 +60,7 @@ def make_dp_train_step(
     return_grads: bool = False,
     rollout_remat: bool = True,
     optimizers=None,
+    spatial_axis: Optional[str] = None,
 ):
     """Jit the GAN train step with DP shardings over ``mesh``.
 
@@ -64,11 +69,27 @@ def make_dp_train_step(
     globally-shaped batches (shard with :func:`shard_batch` or pass arrays
     already laid out on the mesh).  ``return_grads`` adds the (pmean-ed) raw
     gradient trees to the metrics (equivalence tests).
+
+    ``spatial_axis`` (pjit mode only) additionally shards the batches' H
+    axis over that mesh axis: the 2D data x space layout for *training* on
+    fields whose activations exceed one chip's HBM.  GSPMD partitions the
+    whole D/D/G cycle — per-conv halo exchange in forward AND backward,
+    gradient reductions over both axes — from the same single-chip step
+    function; numerics are the global-batch step's (sync-BN, shared
+    latent).  Equivalence vs the single-device step is pinned by
+    ``tests/test_parallel.py`` (eval every run; train gated with the other
+    GSPMD-train compile behind ``RUN_PJIT_TRAIN_TEST=1``).
     """
     import jax.numpy as jnp
 
     compute_dtype = compute_dtype or jnp.float32
     donate = (0,) if donate_state else ()
+    if spatial_axis is not None and mode != "pjit" and mesh.size > 1:
+        raise ValueError(
+            "spatial_axis needs the GSPMD partitioner (mode='pjit'); the "
+            "shard_map DP mode maps batch shards to per-device programs "
+            "with no cross-shard conv halos"
+        )
     if mesh.size == 1:
         # Single-device mesh: the shard_map/pjit wrapper adds nothing but a
         # (large) distinct program to compile — use the plain jitted step.
@@ -97,7 +118,7 @@ def make_dp_train_step(
             optimizers=optimizers,
         )
         repl = replicated_sharding(mesh)
-        data = batch_sharding(mesh)
+        data = batch_sharding(mesh, spatial_axis=spatial_axis)
         return jax.jit(
             step,
             in_shardings=(repl, data, data, repl),
@@ -129,17 +150,24 @@ def make_dp_train_step(
 
 
 def make_dp_eval_step(
-    model: DGMR, mesh: Mesh, *, mode: str = "shard_map", compute_dtype=None
+    model: DGMR,
+    mesh: Mesh,
+    *,
+    mode: str = "shard_map",
+    compute_dtype=None,
+    spatial_axis: Optional[str] = None,
 ):
     import jax.numpy as jnp
 
     compute_dtype = compute_dtype or jnp.float32
+    if spatial_axis is not None and mode != "pjit" and mesh.size > 1:
+        raise ValueError("spatial_axis needs the GSPMD partitioner (mode='pjit')")
     if mesh.size == 1:
         return jax.jit(make_eval_step(model, compute_dtype=compute_dtype))
     if mode == "pjit":
         step = make_eval_step(model, compute_dtype=compute_dtype)
         repl = replicated_sharding(mesh)
-        data = batch_sharding(mesh)
+        data = batch_sharding(mesh, spatial_axis=spatial_axis)
         return jax.jit(step, in_shardings=(repl, data, data, repl), out_shardings=repl)
     step = make_eval_step(model, axis_name=AXIS, compute_dtype=compute_dtype)
     mapped = shard_map(

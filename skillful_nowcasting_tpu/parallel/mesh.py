@@ -37,9 +37,16 @@ def make_mesh(
     return Mesh(arr, ("data", "space"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-axis sharding over ``data`` (leading axis of NTHWC batches)."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, *, spatial_axis: Optional[str] = None) -> NamedSharding:
+    """Batch-axis sharding over ``data`` (leading axis of NTHWC batches).
+
+    With ``spatial_axis`` the batch's H axis (axis 2 of NTHWC) is *also*
+    sharded over that mesh axis — the 2D data x space layout used by the
+    GSPMD spatial modes in :mod:`.dp` / :mod:`.spatial`.
+    """
+    if spatial_axis is None:
+        return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, P("data", None, spatial_axis))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -337,6 +337,102 @@ def test_dp_train_step_pjit_matches_single_device(setup):
     assert float(m_pjit["train/d_grad_norm"]) > 0
 
 
+def test_dp_eval_step_pjit_spatial_matches_single_device(setup):
+    """2D data x space GSPMD eval == single-device eval on the global batch.
+
+    `spatial_axis="space"` shards the batches' H axis over the mesh's
+    second axis on top of DP — the layout for fields whose activations
+    exceed one chip's HBM (`parallel/dp.py`).  GSPMD inserts the per-conv
+    halo exchange through the full eval program; numerics must match the
+    unsharded step.  Also asserts the compiled module really contains
+    cross-device collectives (an all-replicated partition would match
+    numerically too).
+    """
+    model, _, images, future, state = setup
+    rng = jax.random.key(23)
+    mesh2d = make_mesh(n_data=2, n_space=4)
+    ev = make_dp_eval_step(model, mesh2d, mode="pjit", spatial_axis="space")
+    batch = shard_batch((images, future), mesh2d, spatial_axis="space")
+    hlo = ev.lower(state, *batch, rng).compile().as_text()
+    assert any(
+        op in hlo for op in ("collective-permute", "all-gather", "all-to-all")
+    ), "GSPMD emitted no cross-device collectives — space axis unused"
+    m_sp = ev(state, *batch, rng)
+    m_single = jax.jit(make_eval_step(model))(state, images, future, rng)
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_sp[k]), float(m_single[k]), rtol=2e-4, err_msg=k
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_PJIT_TRAIN_TEST"),
+    reason="GSPMD compile of the GAN train step takes tens of minutes on the "
+    "8-virtual-CPU-device mesh; set RUN_PJIT_TRAIN_TEST=1 to run",
+)
+def test_dp_train_step_pjit_spatial_matches_single_device(setup):
+    """2D data x space GSPMD TRAIN step == single-device step (SGD pair).
+
+    The spatially-sharded training mode (`make_dp_train_step(...,
+    spatial_axis="space")`): GSPMD partitions the whole D/D/G cycle with
+    the batch H axis sharded — halo exchange in forward and backward,
+    gradient reduction over both mesh axes.  Same SGD-for-Adam swap and
+    noise floors as the 1D pjit test above.
+    """
+    import optax
+
+    model, _, images, future, state = setup
+    rng = jax.random.key(24)
+    mesh2d = make_mesh(n_data=2, n_space=4)
+
+    sgd_pair = (optax.sgd(5e-5), optax.sgd(2e-4))
+    g0, d0 = split_params(state.params)
+    state = state.replace(
+        g_opt_state=sgd_pair[0].init(g0), d_opt_state=sgd_pair[1].init(d0)
+    )
+
+    step_sp = make_dp_train_step(
+        model,
+        mesh2d,
+        logging_forward=False,
+        donate_state=False,
+        mode="pjit",
+        optimizers=sgd_pair,
+        spatial_axis="space",
+    )
+    batch = shard_batch((images, future), mesh2d, spatial_axis="space")
+    new_sp, m_sp = step_sp(state, *batch, rng)
+    single = jax.jit(make_train_step(model, logging_forward=False, optimizers=sgd_pair))
+    new_single, m_single = single(state, images, future, rng)
+    g_p, d_p = split_params(new_sp.params)
+    g_s, d_s = split_params(new_single.params)
+    _assert_tree_close(g_p, g_s, rtol=1e-4, noise_rel=2e-2, what="g_params")
+    _assert_tree_close(d_p, d_s, rtol=1e-4, noise_rel=1e-5, what="d_params")
+    _assert_tree_close(
+        new_sp.g_opt_state, new_single.g_opt_state, rtol=1e-4, what="g_opt"
+    )
+    _assert_tree_close(
+        new_sp.d_opt_state, new_single.d_opt_state, rtol=1e-4, what="d_opt"
+    )
+    _assert_tree_close(
+        new_sp.batch_stats, new_single.batch_stats, rtol=1e-4, noise_rel=1e-4,
+        what="batch_stats",
+    )
+    for k in ("train/d_loss", "train/g_loss", "train/grid_loss"):
+        np.testing.assert_allclose(float(m_sp[k]), float(m_single[k]), rtol=1e-3)
+    assert float(m_sp["train/d_grad_norm"]) > 0
+
+
+def test_dp_spatial_shard_map_rejected(setup):
+    """spatial_axis without GSPMD must fail loudly (shard_map has no halos)."""
+    model, _, _, _, _ = setup
+    mesh2d = make_mesh(n_data=2, n_space=4)
+    with pytest.raises(ValueError, match="pjit"):
+        make_dp_train_step(model, mesh2d, mode="shard_map", spatial_axis="space")
+    with pytest.raises(ValueError, match="pjit"):
+        make_dp_eval_step(model, mesh2d, mode="shard_map", spatial_axis="space")
+
+
 def test_dp_eval_step_runs(setup):
     model, mesh, images, future, state = setup
     eval_step = make_dp_eval_step(model, mesh)
