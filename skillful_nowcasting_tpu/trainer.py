@@ -69,6 +69,7 @@ class Trainer:
         compute_dtype=None,
         val_skill: bool = False,
         rollout_remat: bool = True,
+        spatial_axis=None,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -94,6 +95,11 @@ class Trainer:
         # reference's wandb checkpoint-artifact callback slot
         # (train/run.py:52-111).
         self.on_checkpoint = on_checkpoint
+        # 2D data x space layout (parallel/dp.py): batches' H axis sharded
+        # over this mesh axis on top of DP — training at output sizes whose
+        # activations exceed one chip's HBM.  Needs dp_mode="pjit" on a
+        # multi-device mesh (GSPMD inserts the conv halo exchange).
+        self.spatial_axis = spatial_axis
 
         self.train_step = make_dp_train_step(
             model,
@@ -112,9 +118,14 @@ class Trainer:
             # Outer per-rollout remat (reference checkpoint parity); False
             # trades HBM for ~one fewer rollout recompute per sample.
             rollout_remat=rollout_remat,
+            spatial_axis=spatial_axis,
         )
         self.eval_step = make_dp_eval_step(
-            model, self.mesh, mode=dp_mode, compute_dtype=compute_dtype
+            model,
+            self.mesh,
+            mode=dp_mode,
+            compute_dtype=compute_dtype,
+            spatial_axis=spatial_axis,
         )
         # Optional paper skill metrics (CRPS/CSI/MSE) during validation —
         # beyond the reference's validation_step, which only mirrors the
@@ -165,7 +176,7 @@ class Trainer:
             train_iter = prefetch_to_device(
                 train_iter,
                 size=self.prefetch,
-                sharding=batch_sharding(self.mesh),
+                sharding=batch_sharding(self.mesh, spatial_axis=self.spatial_axis),
                 transfer_dtype=self.transfer_dtype,
             )
         init_images, init_future = next(train_iter)
@@ -201,7 +212,9 @@ class Trainer:
             t_log = time.time()
             for step in range(start_step, self.max_steps):
                 images, future = next(train_iter)
-                images, future = shard_batch((images, future), self.mesh)
+                images, future = shard_batch(
+                    (images, future), self.mesh, spatial_axis=self.spatial_axis
+                )
                 rng, step_key = jax.random.split(rng)
                 state, metrics = self.train_step(state, images, future, step_key)
                 # Histograms are a nested subtree, not scalars — pop before
@@ -265,7 +278,9 @@ class Trainer:
         accum = {}
         for i in range(self.val_batches):
             images, future = next(val_iter)
-            images, future = shard_batch((images, future), self.mesh)
+            images, future = shard_batch(
+                (images, future), self.mesh, spatial_axis=self.spatial_axis
+            )
             m = dict(self.eval_step(state, images, future, jax.random.fold_in(rng, i)))
             if self.skill_metrics is not None:
                 variables = {

@@ -191,3 +191,22 @@ def test_trainer_watch_histograms_dp(tmp_path):
     assert grad_total == total  # G grads + D grads together cover all params
     for h in hists.values():
         assert np.isfinite(h["sum"]) and np.isfinite(h["sumsq"])
+
+
+def test_trainer_spatial_axis_wiring():
+    """Trainer(spatial_axis=...) plumbs the 2D data x space layout through.
+
+    Construction is compile-free (jax.jit is lazy), so this pins the wiring
+    cheaply: pjit + spatial constructs, shard_map + spatial fails loudly
+    (parallel/dp.py rejects it — no conv halos under shard_map), and the
+    numerical equivalence of the sharded steps themselves is covered in
+    test_parallel.py.
+    """
+    from skillful_nowcasting_tpu.parallel import make_mesh
+
+    model = DGMR(**TINY)
+    mesh = make_mesh(n_data=2, n_space=4)
+    t = Trainer(model, mesh=mesh, dp_mode="pjit", spatial_axis="space")
+    assert t.spatial_axis == "space"
+    with pytest.raises(ValueError, match="pjit"):
+        Trainer(model, mesh=mesh, dp_mode="shard_map", spatial_axis="space")

@@ -100,6 +100,27 @@ def parse_args():
         ),
     )
     p.add_argument(
+        "--dp-mode",
+        choices=["shard_map", "pjit"],
+        default="shard_map",
+        help=(
+            "DP step mode (parallel/dp.py): shard_map = DDP semantics, fast "
+            "compile (default); pjit = GSPMD global-batch (sync-BN, shared "
+            "latent; required for --mesh-space > 1)"
+        ),
+    )
+    p.add_argument(
+        "--mesh-space",
+        type=int,
+        default=1,
+        help=(
+            "devices along the mesh's space axis: batches' H axis is sharded "
+            "over it on top of DP (train at output sizes whose activations "
+            "exceed one chip's HBM; GSPMD inserts the conv halo exchange — "
+            "needs --dp-mode pjit)"
+        ),
+    )
+    p.add_argument(
         "--resume-lightning",
         default=None,
         metavar="CKPT",
@@ -128,7 +149,7 @@ def main():
     from skillful_nowcasting_tpu.trainer import Trainer
 
     init_distributed()
-    mesh = make_mesh()
+    mesh = make_mesh(n_space=args.mesh_space)
     print(f"mesh: {mesh}", file=sys.stderr)
 
     model = DGMR(
@@ -191,6 +212,8 @@ def main():
         rollout_remat={"rollout": True, "save_names": "save_names", "none": False}[
             args.remat
         ],
+        dp_mode=args.dp_mode,
+        spatial_axis="space" if args.mesh_space > 1 else None,
     )
 
     init_state = None
