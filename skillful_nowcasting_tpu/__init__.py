@@ -28,16 +28,26 @@ __all__ = [
     "SpatialDiscriminator",
     "TemporalDiscriminator",
     "Trainer",
+    "NowcastServer",
+    "load_exported",
+    "save_exported",
 ]
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
+
+_SERVING = {"NowcastServer", "load_exported", "save_exported", "export_nowcast"}
 
 
 def __getattr__(name):
-    # Lazy: Trainer pulls in Orbax/parallel machinery that pure inference
-    # users (and the hub converter) never need at import time.
+    # Lazy: Trainer pulls in Orbax/parallel machinery, serving pulls in
+    # jax.export — pure inference users (and the hub converter) never need
+    # either at import time.
     if name == "Trainer":
         from .trainer import Trainer
 
         return Trainer
+    if name in _SERVING:
+        from . import serving
+
+        return getattr(serving, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
