@@ -37,6 +37,32 @@ from .mesh import batch_sharding, replicated_sharding
 AXIS = "data"
 
 
+def _validate_layout(mesh: Mesh, mode: str, spatial_axis: Optional[str]):
+    """Mode/spatial checks that must fire regardless of mesh size.
+
+    The 1-device fast path below bypasses the shard_map/pjit wrappers, so
+    without this a misconfigured single-chip run (spatial_axis under
+    shard_map, or an unknown mode) would silently degrade while the same
+    config fails loudly on multi-device.
+    """
+    if mode not in ("shard_map", "pjit"):
+        raise ValueError(f"unknown DP mode: {mode}")
+    if spatial_axis is not None and mode != "pjit":
+        raise ValueError(
+            "spatial_axis needs the GSPMD partitioner (mode='pjit'); the "
+            "shard_map DP mode maps batch shards to per-device programs "
+            "with no cross-shard conv halos"
+        )
+    if spatial_axis is not None and mesh.size == 1:
+        import warnings
+
+        warnings.warn(
+            f"spatial_axis={spatial_axis!r} has no effect on a 1-device "
+            "mesh: the plain-jit fast path runs the unsharded step",
+            stacklevel=3,
+        )
+
+
 def shard_batch(batch, mesh: Mesh, *, spatial_axis: Optional[str] = None):
     """Place an NTHWC batch (or tuple of batches) onto the data axis.
 
@@ -84,12 +110,7 @@ def make_dp_train_step(
 
     compute_dtype = compute_dtype or jnp.float32
     donate = (0,) if donate_state else ()
-    if spatial_axis is not None and mode != "pjit" and mesh.size > 1:
-        raise ValueError(
-            "spatial_axis needs the GSPMD partitioner (mode='pjit'); the "
-            "shard_map DP mode maps batch shards to per-device programs "
-            "with no cross-shard conv halos"
-        )
+    _validate_layout(mesh, mode, spatial_axis)
     if mesh.size == 1:
         # Single-device mesh: the shard_map/pjit wrapper adds nothing but a
         # (large) distinct program to compile — use the plain jitted step.
@@ -125,9 +146,6 @@ def make_dp_train_step(
             out_shardings=(repl, repl),
             donate_argnums=donate,
         )
-    if mode != "shard_map":
-        raise ValueError(f"unknown DP mode: {mode}")
-
     step = make_train_step(
         model,
         logging_forward=logging_forward,
@@ -160,8 +178,7 @@ def make_dp_eval_step(
     import jax.numpy as jnp
 
     compute_dtype = compute_dtype or jnp.float32
-    if spatial_axis is not None and mode != "pjit" and mesh.size > 1:
-        raise ValueError("spatial_axis needs the GSPMD partitioner (mode='pjit')")
+    _validate_layout(mesh, mode, spatial_axis)
     if mesh.size == 1:
         return jax.jit(make_eval_step(model, compute_dtype=compute_dtype))
     if mode == "pjit":

@@ -7,11 +7,13 @@ opposite: trace + lower ONCE, ship the lowered program, and let serving
 hosts run it with no model code, no Flax, and no tracing cost —
 ``jax.export`` serializes the jitted ensemble forward to a versioned
 StableHLO artifact with lowering-time shape/dtype guarantees.
+(Serialization is ``jax.export.Exported.serialize`` on the exported
+object; loading is :func:`jax.export.deserialize`.)
 
 One ``.dgmrx`` file (a zip) carries everything a serving host needs:
 
 * ``module.stablehlo``  — the serialized exported program
-  (:func:`jax.export.serialize`), target platform(s) recorded;
+  (``Exported.serialize()``), target platform(s) recorded;
 * ``weights.npz``       — the variables tree, flattened in a stable order;
 * ``meta.json``         — model config, input/output shapes+dtypes,
   ensemble size, artifact version.
@@ -24,7 +26,9 @@ raw ``uint32`` key data (``jax.random.wrap_key_data`` inside the program)
 so the artifact is independent of JAX's typed-key representation.
 
 Cross-platform: ``platforms=("tpu", "cpu")`` at export time produces one
-artifact serving both (CI validates the TPU artifact's numerics on CPU).
+artifact loadable on both backends (``tests/test_serving.py`` round-trips
+the artifact on the test platform; numerics across platforms carry the
+usual backend-precision caveats).
 
 Usage::
 
@@ -124,9 +128,17 @@ def export_nowcast(
         "input_shape": list(x_spec.shape),
         "output_shape": [n, batch_size, model.forecast_steps, h, w,
                          model.input_channels],
-        "compute_dtype": str(compute_dtype and jnp.dtype(compute_dtype).name),
+        "compute_dtype": (
+            jnp.dtype(compute_dtype).name if compute_dtype is not None else None
+        ),
         "platforms": list(exported.platforms),
         "param_names": names,
+        # PRNG contract: the traced program consumes raw key data of this
+        # impl/shape; record both so serving hosts with a different
+        # jax_default_prng_impl (e.g. rbg: (4,) words vs threefry (2,))
+        # reconstruct the right key instead of hitting a shape error.
+        "prng_impl": str(jax.config.jax_default_prng_impl),
+        "key_data_shape": list(key_spec.shape),
     }
     return exported, meta, leaves
 
@@ -157,7 +169,18 @@ class NowcastServer:
     meta: dict
 
     def generate(self, x, seed: int = 0):
-        key = jax.random.key_data(jax.random.key(seed))
+        # Build the key with the EXPORT-time PRNG impl (recorded in meta):
+        # the traced program's key_data shape is baked in, so the serving
+        # host's jax_default_prng_impl must not leak in here.
+        impl = self.meta.get("prng_impl")
+        key = jax.random.key_data(jax.random.key(seed, impl=impl))
+        want = self.meta.get("key_data_shape")
+        if want is not None and list(key.shape) != list(want):
+            raise ValueError(
+                f"PRNG key data shape {tuple(key.shape)} (impl={impl!r}) != "
+                f"exported shape {tuple(want)}; the artifact was exported "
+                "under a different jax_default_prng_impl"
+            )
         return self.call(self.weights, jnp.asarray(x, jnp.float32), key)
 
     def place(self, device=None):
@@ -174,10 +197,13 @@ def load_exported(path: str) -> NowcastServer:
         exported = jax.export.deserialize(z.read("module.stablehlo"))
         meta = json.loads(z.read("meta.json"))
         npz = np.load(io.BytesIO(z.read("weights.npz")))
-        weights = [npz[k] for k in npz.files]
-    if len(weights) != len(meta["param_names"]):
-        raise ValueError(
-            f"artifact weight count {len(weights)} != "
-            f"{len(meta['param_names'])} recorded names"
-        )
+        n = len(meta["param_names"])
+        if len(npz.files) != n:
+            raise ValueError(
+                f"artifact weight count {len(npz.files)} != {n} recorded names"
+            )
+        # Index by positional savez key, NOT archive member order: a
+        # repacked/reordered zip must not silently permute the weights fed
+        # to the program's positional arguments.
+        weights = [npz[f"arr_{i}"] for i in range(n)]
     return NowcastServer(call=exported.call, weights=weights, meta=meta)

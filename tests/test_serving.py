@@ -43,6 +43,13 @@ def test_export_roundtrip_exact(model_and_vars, tmp_path):
     assert meta["artifact_version"] == 1
     assert meta["config"]["output_shape"] == 128
     assert meta["output_shape"] == [2, 2, 2, 128, 128, 1]
+    # No-cast export records a real JSON null, not the string "None".
+    assert meta["compute_dtype"] is None
+    # PRNG contract is recorded for serving hosts with a different default.
+    assert meta["prng_impl"] == str(jax.config.jax_default_prng_impl)
+    assert meta["key_data_shape"] == list(
+        jax.random.key_data(jax.random.key(0)).shape
+    )
 
     server = load_exported(path).place()
     rng = np.random.default_rng(11)
@@ -82,6 +89,26 @@ def test_export_microbatch_and_weight_update(model_and_vars, tmp_path):
     server.weights = w2
     out2 = server.generate(x, seed=1)
     assert float(np.max(np.abs(np.asarray(out) - np.asarray(out2)))) > 0
+
+
+def test_prng_impl_recorded_and_enforced(model_and_vars, tmp_path):
+    """generate() builds the key with the EXPORT-time impl; a corrupted /
+    mismatched record fails with a format message, not a shape error."""
+    model, variables = model_and_vars
+    path = str(tmp_path / "tiny_prng.dgmrx")
+    save_exported(path, model, variables, batch_size=1, microbatch=None)
+    server = load_exported(path).place()
+    x = np.zeros((1, 4, 128, 128, 1), np.float32)
+
+    # Happy path: impl comes from meta, not the host default.
+    assert server.generate(x, seed=0).shape == (2, 1, 2, 128, 128, 1)
+
+    # A meta whose impl disagrees with the exported key shape (e.g. a hand-
+    # edited artifact): rbg key data is (4,) uint32 vs the exported
+    # threefry (2,) — the guard raises a format message, not a shape error.
+    server.meta["prng_impl"] = "rbg"
+    with pytest.raises(ValueError, match="jax_default_prng_impl"):
+        server.generate(x, seed=0)
 
 
 def test_export_bf16_compute(model_and_vars, tmp_path):
