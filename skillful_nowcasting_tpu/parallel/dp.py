@@ -87,6 +87,7 @@ def make_dp_train_step(
     rollout_remat: bool = True,
     optimizers=None,
     spatial_axis: Optional[str] = None,
+    r1_gamma: float = 0.0,
 ):
     """Jit the GAN train step with DP shardings over ``mesh``.
 
@@ -125,6 +126,7 @@ def make_dp_train_step(
             return_grads=return_grads,
             rollout_remat=rollout_remat,
             optimizers=optimizers,
+            r1_gamma=r1_gamma,
         )
         return jax.jit(step, donate_argnums=donate)
     if mode == "pjit":
@@ -137,6 +139,7 @@ def make_dp_train_step(
             return_grads=return_grads,
             rollout_remat=rollout_remat,
             optimizers=optimizers,
+            r1_gamma=r1_gamma,
         )
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh, spatial_axis=spatial_axis)
@@ -156,6 +159,7 @@ def make_dp_train_step(
         return_grads=return_grads,
         rollout_remat=rollout_remat,
         optimizers=optimizers,
+        r1_gamma=r1_gamma,
     )
     mapped = shard_map(
         step,

@@ -28,7 +28,7 @@ from .parallel import (
     replicated_sharding,
     shard_batch,
 )
-from .training import TrainState, init_train_state
+from .training import TrainState, init_train_state, make_optimizers
 
 
 def _host_scalars(metrics: dict) -> dict:
@@ -70,6 +70,9 @@ class Trainer:
         val_skill: bool = False,
         rollout_remat: bool = True,
         spatial_axis=None,
+        g_lr_schedule: Optional[str] = None,
+        d_lr_schedule: Optional[str] = None,
+        r1_gamma: float = 0.0,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -100,6 +103,17 @@ class Trainer:
         # activations exceed one chip's HBM.  Needs dp_mode="pjit" on a
         # multi-device mesh (GSPMD inserts the conv halo exchange).
         self.spatial_axis = spatial_axis
+        # Opt-in GAN stabilizers (defaults = exact reference behavior:
+        # fixed-lr Adam pair, no D regularizer — dgmr.py:292-300).  A
+        # scheduled chain carries a step count in its optimizer state, so
+        # the same pair must also initialize the TrainState (see fit()).
+        self.optimizers = (
+            make_optimizers(
+                model, g_lr_schedule=g_lr_schedule, d_lr_schedule=d_lr_schedule
+            )
+            if (g_lr_schedule or d_lr_schedule)
+            else None
+        )
 
         self.train_step = make_dp_train_step(
             model,
@@ -119,6 +133,8 @@ class Trainer:
             # trades HBM for ~one fewer rollout recompute per sample.
             rollout_remat=rollout_remat,
             spatial_axis=spatial_axis,
+            optimizers=self.optimizers,
+            r1_gamma=r1_gamma,
         )
         self.eval_step = make_dp_eval_step(
             model,
@@ -185,7 +201,11 @@ class Trainer:
             start_step = int(jax.device_get(state.step))
         else:
             state = init_train_state(
-                self.model, jax.random.key(self.seed + 1), init_images[:1], init_future[:1]
+                self.model,
+                jax.random.key(self.seed + 1),
+                init_images[:1],
+                init_future[:1],
+                optimizers=self.optimizers,
             )
             start_step = 0
         if self.manager is not None and resume and self.manager.latest_step() is not None:

@@ -77,17 +77,79 @@ def _overlay(old: Any, new: Any) -> Any:
     return new
 
 
-def make_optimizers(model: DGMR) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
-    """Two Adam chains matching torch defaults (``dgmr.py:292-300``)."""
-    g_tx = optax.adam(model.gen_lr, b1=model.beta1, b2=model.beta2, eps=1e-8)
-    d_tx = optax.adam(model.disc_lr, b1=model.beta1, b2=model.beta2, eps=1e-8)
+def make_lr_schedule(base_lr: float, spec: Optional[str]):
+    """Parse an opt-in LR schedule spec into an optax schedule (or ``base_lr``).
+
+    The reference trains with FIXED-lr Adam (``dgmr.py:292-300``) and its
+    long GAN runs destabilize (see docs/DESIGN.md round-4: val d_loss blows
+    up past ~step 1400 on the 2k synthetic run).  Schedules are the
+    classic stabilizer; they are strictly opt-in — ``None``/"constant"
+    keeps the exact reference behavior (and the stateless optax chain, so
+    checkpoints stay tree-compatible with earlier rounds).
+
+    Specs (steps are optimizer steps):
+
+    * ``None`` / ``"constant"``           -> ``base_lr`` (reference exact)
+    * ``"cosine:<steps>[:<alpha>]"``      -> cosine decay to ``alpha*base``
+    * ``"exp:<steps>:<rate>"``            -> ``base * rate**(t/steps)``
+    * ``"warmup_cosine:<warm>:<steps>[:<alpha>]"`` -> linear warmup from 0
+      over ``warm`` steps then cosine decay to ``alpha*base`` at ``steps``
+    * ``"linear:<steps>[:<end_scale>]"``  -> linear to ``end_scale*base``
+    """
+    if spec is None or spec == "constant":
+        return base_lr
+    parts = spec.split(":")
+    kind, args = parts[0], parts[1:]
+    if kind == "cosine":
+        steps = int(args[0])
+        alpha = float(args[1]) if len(args) > 1 else 0.0
+        return optax.cosine_decay_schedule(base_lr, steps, alpha=alpha)
+    if kind == "exp":
+        return optax.exponential_decay(base_lr, int(args[0]), float(args[1]))
+    if kind == "warmup_cosine":
+        warm, steps = int(args[0]), int(args[1])
+        alpha = float(args[2]) if len(args) > 2 else 0.0
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, warm, steps, end_value=alpha * base_lr
+        )
+    if kind == "linear":
+        steps = int(args[0])
+        end = float(args[1]) if len(args) > 1 else 0.0
+        return optax.linear_schedule(base_lr, end * base_lr, steps)
+    raise ValueError(f"unknown lr schedule spec: {spec!r}")
+
+
+def make_optimizers(
+    model: DGMR,
+    *,
+    g_lr_schedule: Optional[str] = None,
+    d_lr_schedule: Optional[str] = None,
+) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    """Two Adam chains matching torch defaults (``dgmr.py:292-300``).
+
+    ``g_lr_schedule``/``d_lr_schedule`` are opt-in spec strings (see
+    :func:`make_lr_schedule`); ``None`` is the reference's fixed lr.
+    """
+    g_lr = make_lr_schedule(model.gen_lr, g_lr_schedule)
+    d_lr = make_lr_schedule(model.disc_lr, d_lr_schedule)
+    g_tx = optax.adam(g_lr, b1=model.beta1, b2=model.beta2, eps=1e-8)
+    d_tx = optax.adam(d_lr, b1=model.beta1, b2=model.beta2, eps=1e-8)
     return g_tx, d_tx
 
 
 def init_train_state(
-    model: DGMR, rng: jax.Array, images: jnp.ndarray, future_images: jnp.ndarray
+    model: DGMR,
+    rng: jax.Array,
+    images: jnp.ndarray,
+    future_images: jnp.ndarray,
+    optimizers: Optional[Tuple[optax.GradientTransformation, optax.GradientTransformation]] = None,
 ) -> TrainState:
-    """Initialize all variables (G + D) and both optimizer states."""
+    """Initialize all variables (G + D) and both optimizer states.
+
+    ``optimizers`` must match what the train step will use: a scheduled
+    chain carries a step count in its state, so its tree differs from the
+    default fixed-lr Adam's.
+    """
     k_params, k_latent, k_frames = jax.random.split(rng, 3)
     init_fn = jax.jit(partial(model.init, method=DGMR.init_step))
     variables = init_fn(
@@ -97,7 +159,7 @@ def init_train_state(
     )
     params = variables["params"]
     g_params, d_params = split_params(params)
-    g_tx, d_tx = make_optimizers(model)
+    g_tx, d_tx = optimizers if optimizers is not None else make_optimizers(model)
     return TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
@@ -298,6 +360,7 @@ def make_train_step(
     return_grads: bool = False,
     rollout_remat: bool = True,
     optimizers: Optional[Tuple[optax.GradientTransformation, optax.GradientTransformation]] = None,
+    r1_gamma: float = 0.0,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the single-step training function (jit / pjit it at the call site).
 
@@ -318,6 +381,16 @@ def make_train_step(
     updates (torch-DDP semantics: per-replica batch statistics and latent
     draws, averaged gradients).  Mutable statistics are pmean-ed at the end of
     the step so the returned state is replica-consistent.
+
+    ``r1_gamma > 0`` adds the R1 gradient penalty (Mescheder et al. 2018)
+    to BOTH discriminator updates: ``(gamma/2) * E_real ||d D(x)/d x||^2``,
+    summed over the spatial+temporal score heads.  The reference has no D
+    regularizer and its long GAN runs destabilize (docs/DESIGN.md round-4
+    2k-step run: val d_loss 10 -> 565 past step ~1400); R1 is the opt-in
+    lever.  Cost: one extra D forward + double-backward per D step (the
+    generator rollouts dominate the step, so this is a few percent).  The
+    gate is a trace-time Python check — ``r1_gamma=0.0`` (default) traces
+    the byte-identical reference program, compile-cache keys unchanged.
 
     ``compute_dtype=jnp.bfloat16`` enables mixed-precision training: model
     inputs are cast to bf16 so every conv/matmul runs at MXU bf16 rate, while
@@ -350,6 +423,14 @@ def make_train_step(
         real_seq = jnp.concatenate(
             [images, future_images], axis=1
         ).astype(compute_dtype)
+        # R1 penalty differentiates wrt the FULL-precision real input (the
+        # bf16 real_seq would quantize the gradient's base point); gated so
+        # the default (r1_gamma=0) jaxpr is unchanged.
+        real_seq_f32 = (
+            jnp.concatenate([images, future_images], axis=1)
+            if r1_gamma > 0.0
+            else None
+        )
 
         if axis_name is not None:
             # Per-replica randomness (each rank its own z / frame indices).
@@ -386,11 +467,50 @@ def make_train_step(
                 )
                 rs, rt, gs, gt = _split_scores(scores, b)
                 loss = loss_hinge_disc(gs, rs) + loss_hinge_disc(gt, rt)
+                if r1_gamma > 0.0:
+                    # R1: (gamma/2) * E_real ||d D(x)/d x||^2 over both score
+                    # heads, differentiated wrt the REAL half of the same
+                    # real‖generated concat the loss forward sees.  The D
+                    # heads end in train-mode BatchNorm over the batch axis,
+                    # so scoring the real half alone would normalize with
+                    # real-only statistics (and at batch 1 the score becomes
+                    # the constant beta — gradient identically zero); going
+                    # through the full concat keeps the penalty's BN
+                    # statistics identical to the loss's.  The penalty
+                    # forward discards its collection mutations (stats
+                    # update once per D step, via the main forward above);
+                    # same frame-sampling key -> same frames.
+                    def real_score_sum(x):
+                        ci = jnp.concatenate(
+                            [x.astype(compute_dtype), gen_seq], axis=0
+                        )
+                        s, _, _ = _apply_discriminator(
+                            model,
+                            merge_params(g_params, d_pp),
+                            bs,
+                            sp,
+                            ci,
+                            k_fr,
+                            True,
+                        )
+                        rs2, rt2, _, _ = _split_scores(s, b)
+                        return jnp.sum(rs2) + jnp.sum(rt2)
+
+                    gin = jax.grad(real_score_sum)(real_seq_f32)
+                    r1 = 0.5 * jnp.mean(
+                        jnp.sum(
+                            jnp.square(gin.astype(jnp.float32)).reshape(b, -1),
+                            axis=1,
+                        )
+                    )
+                    loss = loss + r1_gamma * r1
+                    return loss, (bs, sp, r1)
                 return loss, (bs, sp)
 
-            (loss, (bs, sp)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            (loss, aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 d_p, bs, sp
             )
+            bs, sp = aux[0], aux[1]
             d_grads = pmean(d_grads)
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_p)
             d_p = optax.apply_updates(d_p, d_updates)
@@ -404,6 +524,8 @@ def make_train_step(
                 out = out + (_layer_histograms(d_grads["discriminator"], depth=1),)
             if return_grads:
                 out = out + (d_grads,)
+            if r1_gamma > 0.0:
+                out = out + (aux[2],)  # r1 penalty, appended LAST
             return (d_p, d_opt, bs, sp), out
 
         (d_params, d_opt_state, batch_stats, spectral), d_outs = jax.lax.scan(
@@ -418,6 +540,7 @@ def make_train_step(
             d_hists_stacked = d_outs[idx]
             idx += 1
         d_grads_stacked = d_outs[idx] if return_grads else None
+        d_r1_stacked = d_outs[-1] if r1_gamma > 0.0 else None
         d_loss = d_losses[-1]  # reference logs the last D step's loss
         params = merge_params(g_params, d_params)
 
@@ -530,6 +653,8 @@ def make_train_step(
             "train/g_grad_norm": optax.global_norm(g_grads),
             "train/d_grad_norm": d_gnorms[-1],
         }
+        if r1_gamma > 0.0:
+            metrics["train/d_r1"] = pmean(d_r1_stacked[-1])
         if watch_gradients:
             metrics.update(_layer_grad_norms(g_grads, "train/grad_norm/"))
             metrics.update({k: v[-1] for k, v in d_layer_norms.items()})

@@ -126,6 +126,32 @@ def parse_args():
         metavar="CKPT",
         help="initialize from a reference Lightning .ckpt (weights + optimizers + step)",
     )
+    p.add_argument(
+        "--g-lr-schedule",
+        default=None,
+        metavar="SPEC",
+        help=(
+            "opt-in generator LR schedule (training.make_lr_schedule): "
+            "cosine:STEPS[:ALPHA] | exp:STEPS:RATE | "
+            "warmup_cosine:WARM:STEPS[:ALPHA] | linear:STEPS[:END]; "
+            "default keeps the reference's fixed lr"
+        ),
+    )
+    p.add_argument(
+        "--d-lr-schedule",
+        default=None,
+        metavar="SPEC",
+        help="opt-in discriminator LR schedule (same specs as --g-lr-schedule)",
+    )
+    p.add_argument(
+        "--r1-gamma",
+        type=float,
+        default=0.0,
+        help=(
+            "opt-in R1 gradient penalty weight on the discriminator's real "
+            "scores (0 = reference-exact, no penalty)"
+        ),
+    )
     return p.parse_args()
 
 
@@ -214,6 +240,9 @@ def main():
         ],
         dp_mode=args.dp_mode,
         spatial_axis="space" if args.mesh_space > 1 else None,
+        g_lr_schedule=args.g_lr_schedule,
+        d_lr_schedule=args.d_lr_schedule,
+        r1_gamma=args.r1_gamma,
     )
 
     init_state = None
