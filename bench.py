@@ -43,6 +43,10 @@ REF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_ref
 # cores / how much load the bench host has on a given day.
 PINNED_REF_FPS = 1.011  # detect_anomaly on (as shipped)
 PINNED_REF_FPS_CLEAN = 1.175  # detect_anomaly off
+# Reference GAN training_step on this host's torch-CPU, samples/sec at B=1
+# (scripts/bench_ref_train.py, round 5).  None until measured; the round-5
+# measurement pins it below like the inference constants.
+PINNED_REF_TRAIN_SAMPLES_PER_SEC = None
 
 
 def log(msg: str) -> None:
@@ -334,13 +338,15 @@ def main() -> None:
         )
         log(f"MFU ({flops/1e12:.2f} TFLOPs/forward, XLA cost analysis): {mfu}")
 
+    train_sps = train_batch = None
+    train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "float32")
     if os.environ.get("BENCH_TRAIN") == "1":
         train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
-        train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "float32")
         try:
-            measure_ours_train(train_batch, dtype_name=train_dtype)  # logged to stderr
+            train_sps = measure_ours_train(train_batch, dtype_name=train_dtype)
         except Exception as e:  # noqa: BLE001
             log(f"train measurement failed (B={train_batch}): {type(e).__name__}: {e}")
+            train_batch = None
 
     vs_live = ref_fps = ref_fps_clean = None
     if os.environ.get("BENCH_SKIP_REF") != "1":
@@ -377,6 +383,23 @@ def main() -> None:
                 "ref_frames_per_sec_live": r(ref_fps),
                 "ref_frames_per_sec_live_detect_anomaly_off": r(ref_fps_clean),
                 "vs_baseline_live": r(vs_live),
+                # Two-sided TRAIN ratio (VERDICT r4 weak #2): ours vs the
+                # torch-CPU reference's own training_step, per-sample
+                # normalized (the reference is measured at B=1 —
+                # scripts/bench_ref_train.py; samples/s there scales ~flat
+                # in batch on the 1-core host).  Pinned like PINNED_REF_FPS.
+                "train_steps_per_sec": r(train_sps),
+                "train_batch": train_batch,
+                "train_dtype": train_dtype if train_sps else None,
+                "train_samples_per_sec": r(train_sps * train_batch)
+                if train_sps
+                else None,
+                "pinned_ref_train_samples_per_sec": PINNED_REF_TRAIN_SAMPLES_PER_SEC,
+                "train_vs_baseline": r(
+                    train_sps * train_batch / PINNED_REF_TRAIN_SAMPLES_PER_SEC
+                )
+                if train_sps and PINNED_REF_TRAIN_SAMPLES_PER_SEC
+                else None,
             }
         )
     )

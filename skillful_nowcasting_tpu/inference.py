@@ -233,6 +233,86 @@ def _tile_starts(full: int, tile: int, stride: int):
     return starts
 
 
+def stitch_seam_indices(n: int, tile: int, overlap: int, device: bool = True):
+    """First-difference boundary indices where the writing tile changes.
+
+    A "seam" is the boundary between output columns (or rows) ``i`` and
+    ``i+1`` that were written by different tiles.  ``device=True`` gives the
+    :func:`tiled_nowcast_device` geometry (uniform ``stride``-wide interiors,
+    so column ``x``'s writer is ``x // stride``); ``device=False`` the
+    host-streaming :func:`tiled_nowcast` overwrite order (each later tile
+    claims from ``start + overlap/2``).
+    """
+    stride = tile - overlap
+    margin = overlap // 2
+    if device:
+        return [k * stride - 1 for k in range(1, -(-n // stride)) if k * stride < n]
+    starts = _tile_starts(max(n, tile), tile, stride)
+    return [s + margin - 1 for s in starts[1:] if 0 <= s + margin - 1 < n - 1]
+
+
+def smooth_test_field(
+    t: int, h: int, w: int, c: int = 1, seed: int = 0, n_modes: int = 6
+) -> np.ndarray:
+    """Smooth synthetic radar-like field: advecting low-frequency sinusoids.
+
+    Used by the seam-discontinuity metric (SURVEY §7 hard part 7: stitched
+    giant-tile outputs must not show seams above tolerance).  Smoothness
+    matters: on a field whose own neighbor-to-neighbor variation is small,
+    any stitching artifact stands out as an outlier first difference.
+    """
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[0:h, 0:w] / float(max(h, w))
+    field = np.zeros((t, h, w), np.float64)
+    for _ in range(n_modes):
+        ky, kx = rng.uniform(1.0, 4.0, 2)
+        phase = rng.uniform(0.0, 2.0 * np.pi)
+        amp = rng.uniform(0.2, 1.0)
+        vy, vx = rng.uniform(-0.05, 0.05, 2)
+        for ti in range(t):
+            field[ti] += amp * np.sin(
+                2.0 * np.pi * (ky * (ys + vy * ti) + kx * (xs + vx * ti)) + phase
+            )
+    field = 0.5 + 0.25 * field / np.sqrt(n_modes)
+    return np.repeat(field[..., None], c, axis=-1).astype(np.float32)
+
+
+def seam_discontinuity(
+    out: np.ndarray, *, tile: int, overlap: int, device: bool = True
+) -> dict:
+    """Quantify stitching artifacts of a tiled nowcast (THWC).
+
+    Compares the largest first-difference jump ACROSS stitch boundaries
+    (where adjacent pixels were computed by different tiles) against the
+    99.9th percentile of first differences everywhere else:
+
+    * ``seam_max``  — max |out[..., i+1] - out[..., i]| over seam boundaries
+      (both axes);
+    * ``bg_p999``   — p99.9 of the same quantity over non-seam boundaries;
+    * ``ratio``     — ``seam_max / bg_p999``; ~1 means seams are
+      indistinguishable from the field's own texture.
+    """
+    t, h, w, c = out.shape
+    seam_vals: list = []
+    bg: list = []
+    for axis, n in ((1, h), (2, w)):
+        d = np.abs(np.diff(np.asarray(out, np.float64), axis=axis))
+        seams = stitch_seam_indices(n, tile, overlap, device=device)
+        mask = np.zeros(n - 1, bool)
+        mask[seams] = True
+        d_m = np.moveaxis(d, axis, 0)
+        seam_vals.append(d_m[mask].max() if mask.any() else 0.0)
+        bg.append(d_m[~mask].reshape(-1))
+    bg_all = np.concatenate(bg)
+    bg_p999 = float(np.percentile(bg_all, 99.9))
+    seam_max = float(max(seam_vals))
+    return {
+        "seam_max": seam_max,
+        "bg_p999": bg_p999,
+        "ratio": seam_max / max(bg_p999, 1e-30),
+    }
+
+
 def tiled_nowcast_device(
     model,
     variables,

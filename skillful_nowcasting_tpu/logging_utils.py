@@ -136,6 +136,54 @@ class MetricsLogger:
             self._wandb.finish()
 
 
+def make_wandb_checkpoint_uploader(
+    artifact_name: str = "experiment-ckpts",
+    artifact_type: str = "checkpoints",
+    upload_best_only: bool = False,
+):
+    """Checkpoint-as-wandb-artifact callback (reference
+    ``UploadCheckpointsAsArtifact``, ``/root/reference/train/run.py:52-111``).
+
+    Returns an ``on_checkpoint(step, ckpt_dir)`` callable for
+    :class:`~skillful_nowcasting_tpu.trainer.Trainer`: it packages the Orbax
+    step directory (or, with ``upload_best_only``, only the newest step under
+    ``ckpt_dir`` — the analog of the reference's best-model-path upload,
+    since the trainer's ``best`` manager keeps exactly the best step) as a
+    wandb artifact aliased ``step-N``.  No-ops when wandb is not importable
+    or no run is active, and on non-zero hosts (the reference's
+    ``@rank_zero_only``).
+    """
+    import os
+
+    def upload(step: int, ckpt_dir) -> None:
+        import jax
+
+        if jax.process_index() != 0:
+            return
+        try:
+            import wandb
+        except ImportError:
+            return
+        if wandb.run is None:
+            return
+        art = wandb.Artifact(
+            artifact_name, type=artifact_type, metadata={"step": int(step)}
+        )
+        root = str(ckpt_dir)
+        step_dir = os.path.join(root, str(int(step)))
+        if upload_best_only or not os.path.isdir(root):
+            if os.path.isdir(step_dir):
+                art.add_dir(step_dir, name=str(int(step)))
+        else:
+            for entry in sorted(os.listdir(root)):
+                full = os.path.join(root, entry)
+                if os.path.isdir(full):
+                    art.add_dir(full, name=entry)
+        wandb.run.log_artifact(art, aliases=["latest", f"step-{int(step)}"])
+
+    return upload
+
+
 def _normalize_image(frame: np.ndarray) -> np.ndarray:
     lo, hi = float(frame.min()), float(frame.max())
     if hi > lo:

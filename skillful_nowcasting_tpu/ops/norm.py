@@ -67,7 +67,13 @@ class TorchBatchNorm(nn.Module):
                 dtype
             )
 
-        xf = x.astype(jnp.float32)
+        # Statistics dtype: at least f32 (bf16 inputs are promoted, exactly as
+        # torch computes BN stats in f32 under autocast), but NOT a downcast —
+        # under jax_enable_x64 an f64 input keeps f64 stats, so sharded-vs-
+        # dense equivalence tests can separate GSPMD partitioning bugs from
+        # reduction-order rounding (diag: scripts/diag_spatial_ladder.py).
+        sdtype = jnp.promote_types(x.dtype, jnp.float32)
+        xf = x.astype(sdtype)
         if sequential:
             # Reduce over every axis except the leading S and trailing C.
             red_axes = tuple(range(1, x.ndim - 1))
@@ -82,7 +88,7 @@ class TorchBatchNorm(nn.Module):
             if not self.is_initializing():
                 s = x.shape[0]
                 m = self.momentum
-                decay = (1.0 - m) ** jnp.arange(s - 1, -1, -1, dtype=jnp.float32)  # (S,)
+                decay = (1.0 - m) ** jnp.arange(s - 1, -1, -1, dtype=sdtype)  # (S,)
                 ra_mean.value = (1.0 - m) ** s * ra_mean.value + m * jnp.einsum(
                     "s,sc->c", decay, mean
                 )

@@ -96,7 +96,13 @@ class Trainer:
         self.transfer_dtype = transfer_dtype
         # Called as on_checkpoint(step, ckpt_dir) after each save — the
         # reference's wandb checkpoint-artifact callback slot
-        # (train/run.py:52-111).
+        # (train/run.py:52-111).  With wandb logging active and no explicit
+        # hook, default to the reference behavior: upload the checkpoint
+        # directory as a wandb artifact after every save.
+        if on_checkpoint is None and use_wandb:
+            from .logging_utils import make_wandb_checkpoint_uploader
+
+            on_checkpoint = make_wandb_checkpoint_uploader()
         self.on_checkpoint = on_checkpoint
         # 2D data x space layout (parallel/dp.py): batches' H axis sharded
         # over this mesh axis on top of DP — training at output sizes whose
@@ -272,6 +278,9 @@ class Trainer:
                     save_state(self.manager, step + 1, state, rng, scalar_metrics)
                     save_state(self.best_manager, step + 1, state, rng, scalar_metrics)
                     if self.on_checkpoint is not None:
+                        # The save above is async — materialize it before the
+                        # hook reads the directory (artifact upload).
+                        self.manager.wait_until_finished()
                         self.on_checkpoint(step + 1, self.manager.directory)
         except KeyboardInterrupt:
             print("interrupted — saving checkpoint", file=sys.stderr)

@@ -211,13 +211,25 @@ def _apply_discriminator(model, params, batch_stats, spectral, seq, frames_key, 
     return scores, batch_stats, spectral
 
 
+def _at_least_f32(x):
+    """Upcast-only f32 cast for loss/metric reductions.
+
+    Mixed-precision (bf16) activations accumulate hinge/grid reductions in
+    f32 exactly as before; f64 arrays (``jax_enable_x64`` equivalence tests,
+    e.g. the GSPMD spatial-train test) are NOT silently downcast, so those
+    tests measure partitioning semantics rather than f32 rounding.  For f32
+    and bf16 inputs the emitted jaxpr is identical to ``astype(float32)``.
+    """
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def _split_scores(scores, n_real):
     """(2B, 2, 1) discriminator output -> per-branch real/generated scores.
 
     Scores are cast to f32 so hinge losses accumulate in full precision under
     mixed-precision training.
     """
-    scores = scores.astype(jnp.float32)
+    scores = _at_least_f32(scores)
     score_real, score_generated = scores[:n_real], scores[n_real:]
     return (
         score_real[:, :1],
@@ -416,9 +428,9 @@ def make_train_step(
 
     def train_step(state: TrainState, images, future_images, rng):
         # f32 copies feed the grid loss target; ``*_c`` copies feed the model.
-        future_images = future_images.astype(jnp.float32)
+        future_images = _at_least_f32(future_images)
         images_c = images.astype(compute_dtype)
-        images = images.astype(jnp.float32)
+        images = _at_least_f32(images)
         b = images.shape[0]
         real_seq = jnp.concatenate(
             [images, future_images], axis=1
@@ -499,7 +511,7 @@ def make_train_step(
                     gin = jax.grad(real_score_sum)(real_seq_f32)
                     r1 = 0.5 * jnp.mean(
                         jnp.sum(
-                            jnp.square(gin.astype(jnp.float32)).reshape(b, -1),
+                            jnp.square(_at_least_f32(gin)).reshape(b, -1),
                             axis=1,
                         )
                     )
@@ -602,14 +614,14 @@ def make_train_step(
                 scores, bs, sp = _apply_discriminator(
                     model, full, bs, sp, concat_in, k_fr, True
                 )
-                return (bs, sp, sum_preds + preds.astype(jnp.float32)), scores[b:]
+                return (bs, sp, sum_preds + _at_least_f32(preds)), scores[b:]
 
             (bs, sp, sum_preds), gen_scores = jax.lax.scan(
                 sample_body, (bs, sp, sum0), (g_lat, g_fr)
             )
             gen_mean = sum_preds / n_gen
             grid = grid_loss(gen_mean, future_images)
-            g_disc_loss = loss_hinge_gen(gen_scores.astype(jnp.float32))
+            g_disc_loss = loss_hinge_gen(_at_least_f32(gen_scores))
             loss = g_disc_loss + model.grid_lambda * grid
             return loss, (bs, sp, grid, g_disc_loss)
 
@@ -716,9 +728,9 @@ def make_eval_step(
     n_gen = model.generation_steps
 
     def eval_step(state: TrainState, images, future_images, rng):
-        future_images = future_images.astype(jnp.float32)
+        future_images = _at_least_f32(future_images)
         images_c = images.astype(compute_dtype)
-        images = images.astype(jnp.float32)
+        images = _at_least_f32(images)
         b = images.shape[0]
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
@@ -750,7 +762,7 @@ def make_eval_step(
             return None, preds
 
         _, preds = jax.lax.scan(sample_body, None, keys[4 : 4 + n_gen])
-        gen_mean = jnp.mean(preds.astype(jnp.float32), axis=0)
+        gen_mean = jnp.mean(_at_least_f32(preds), axis=0)
         grid = grid_loss(gen_mean, future_images)
 
         def score_body(_, inp):
@@ -762,7 +774,7 @@ def make_eval_step(
             return None, scores[b:]
 
         _, gen_scores = jax.lax.scan(score_body, None, (preds, keys[4 + n_gen :]))
-        g_loss = loss_hinge_gen(gen_scores.astype(jnp.float32)) + model.grid_lambda * grid
+        g_loss = loss_hinge_gen(_at_least_f32(gen_scores)) + model.grid_lambda * grid
         metrics = {
             "val/d_loss": d_loss,
             "val/g_loss": g_loss,

@@ -73,17 +73,101 @@ def load_reference():
         try:
             import pytorch_msssim  # noqa: F401
         except ImportError:
+            # The library is not in this image; vendor its published
+            # algorithm (VainF/pytorch-msssim) in torch so the reference's
+            # SSIM loss classes compute real values for golden tests.  This
+            # is an INDEPENDENT execution path from our JAX version (torch
+            # grouped convs / avg_pool2d vs lax convs / reduce_window).
+            import torch.nn.functional as F
+
             msssim = _stub_module("pytorch_msssim")
 
-            class _Unavailable(torch.nn.Module):
-                def __init__(self, **kwargs):
+            def _gauss_win(size, sigma):
+                coords = torch.arange(size, dtype=torch.float32) - size // 2
+                g = torch.exp(-(coords**2) / (2.0 * sigma**2))
+                return (g / g.sum()).reshape(1, 1, 1, -1)
+
+            def _gfilter(x, win):
+                c = x.shape[1]
+                out = F.conv2d(x, win.expand(c, 1, 1, -1), groups=c)
+                return F.conv2d(
+                    out, win.expand(c, 1, 1, -1).transpose(2, 3), groups=c
+                )
+
+            def _ssim_t(x, y, data_range, win, k=(0.01, 0.03)):
+                c1 = (k[0] * data_range) ** 2
+                c2 = (k[1] * data_range) ** 2
+                mu1, mu2 = _gfilter(x, win), _gfilter(y, win)
+                mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+                s11 = _gfilter(x * x, win) - mu11
+                s22 = _gfilter(y * y, win) - mu22
+                s12 = _gfilter(x * y, win) - mu12
+                cs_map = (2 * s12 + c2) / (s11 + s22 + c2)
+                ssim_map = ((2 * mu12 + c1) / (mu11 + mu22 + c1)) * cs_map
+                return (
+                    ssim_map.flatten(2).mean(-1),
+                    cs_map.flatten(2).mean(-1),
+                )
+
+            class SSIM(torch.nn.Module):
+                def __init__(
+                    self,
+                    data_range=255,
+                    size_average=True,
+                    win_size=11,
+                    win_sigma=1.5,
+                    channel=3,
+                    K=(0.01, 0.03),
+                    nonnegative_ssim=False,
+                ):
                     super().__init__()
+                    self.data_range, self.size_average = data_range, size_average
+                    self.win = _gauss_win(win_size, win_sigma)
+                    self.K, self.nonneg = K, nonnegative_ssim
 
-                def forward(self, *a, **k):
-                    raise NotImplementedError("pytorch_msssim stub")
+                def forward(self, x, y):
+                    s, _ = _ssim_t(x, y, self.data_range, self.win, self.K)
+                    if self.nonneg:
+                        s = torch.relu(s)
+                    return s.mean() if self.size_average else s.mean(1)
 
-            msssim.SSIM = _Unavailable
-            msssim.MS_SSIM = _Unavailable
+            class MS_SSIM(torch.nn.Module):
+                def __init__(
+                    self,
+                    data_range=255,
+                    size_average=True,
+                    win_size=11,
+                    win_sigma=1.5,
+                    channel=3,
+                    weights=None,
+                    K=(0.01, 0.03),
+                ):
+                    super().__init__()
+                    self.data_range, self.size_average = data_range, size_average
+                    self.win = _gauss_win(win_size, win_sigma)
+                    self.weights = torch.tensor(
+                        weights or [0.0448, 0.2856, 0.3001, 0.2363, 0.1333]
+                    )
+                    self.K = K
+
+                def forward(self, x, y):
+                    levels = self.weights.shape[0]
+                    mcs = []
+                    for i in range(levels):
+                        s, cs = _ssim_t(x, y, self.data_range, self.win, self.K)
+                        if i < levels - 1:
+                            mcs.append(torch.relu(cs))
+                            pad = [d % 2 for d in x.shape[2:]]
+                            x = F.avg_pool2d(x, kernel_size=2, padding=pad)
+                            y = F.avg_pool2d(y, kernel_size=2, padding=pad)
+                    stacked = torch.stack(mcs + [torch.relu(s)], dim=0)
+                    out = torch.prod(
+                        stacked ** self.weights.view(-1, 1, 1), dim=0
+                    )
+                    return out.mean() if self.size_average else out.mean(1)
+
+            msssim.SSIM = SSIM
+            msssim.MS_SSIM = MS_SSIM
             sys.modules["pytorch_msssim"] = msssim
 
     if "torchvision" not in sys.modules:

@@ -371,56 +371,193 @@ def test_dp_eval_step_pjit_spatial_matches_single_device(setup):
     "8-virtual-CPU-device mesh; set RUN_PJIT_TRAIN_TEST=1 to run",
 )
 def test_dp_train_step_pjit_spatial_matches_single_device(setup):
-    """2D data x space GSPMD TRAIN step == single-device step (SGD pair).
+    """2D data x space GSPMD TRAIN step == single-device step, at f64.
 
     The spatially-sharded training mode (`make_dp_train_step(...,
     spatial_axis="space")`): GSPMD partitions the whole D/D/G cycle with
     the batch H axis sharded — halo exchange in forward and backward,
-    gradient reduction over both mesh axes.  Same SGD-for-Adam swap and
-    noise floors as the 1D pjit test above.
+    gradient reduction over both mesh axes.
+
+    Why f64 (unlike the 1D pjit test above): at f32 this comparison is NOT
+    decisive.  Sharding a spatial axis re-orders BatchNorm's mean/var
+    reductions; the resulting f32-eps (~3e-8) statistics differences are
+    amplified ~1e6x through one D/D/G cycle's recurrent backward (measured
+    round 4-5: g_params diverged to ~2e-2 of global max — right AT the 1D
+    test's noise floor, failing marginally with no way to tell rounding
+    from a partitioning bug).  At f64 the same chaotic amplification of
+    ~1e-16 reduction noise lands near ~1e-10, five orders below the f32
+    failure scale, so the tolerances here (1e-7) separate the two cleanly.
+    Op-level exactness of every block under sharding is pinned separately
+    by ``test_gspmd_sharded_blocks_exact_f64``.
     """
     import optax
 
     model, _, images, future, state = setup
-    rng = jax.random.key(24)
-    mesh2d = make_mesh(n_data=2, n_space=4)
+    with jax.enable_x64(True):
+        f64 = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            t,
+        )
+        images, future = f64(images), f64(future)
+        params = f64(state.params)
+        sgd_pair = (optax.sgd(5e-5), optax.sgd(2e-4))
+        g0, d0 = split_params(params)
+        state = state.replace(
+            params=params,
+            batch_stats=f64(state.batch_stats),
+            spectral=f64(state.spectral),
+            g_opt_state=sgd_pair[0].init(g0),
+            d_opt_state=sgd_pair[1].init(d0),
+        )
+        rng = jax.random.key(24)
+        mesh2d = make_mesh(n_data=2, n_space=4)
 
-    sgd_pair = (optax.sgd(5e-5), optax.sgd(2e-4))
-    g0, d0 = split_params(state.params)
-    state = state.replace(
-        g_opt_state=sgd_pair[0].init(g0), d_opt_state=sgd_pair[1].init(d0)
-    )
+        step_sp = make_dp_train_step(
+            model,
+            mesh2d,
+            logging_forward=False,
+            donate_state=False,
+            mode="pjit",
+            optimizers=sgd_pair,
+            spatial_axis="space",
+            compute_dtype=jnp.float64,
+        )
+        batch = shard_batch((images, future), mesh2d, spatial_axis="space")
+        new_sp, m_sp = step_sp(state, *batch, rng)
+        single = jax.jit(
+            make_train_step(
+                model,
+                logging_forward=False,
+                optimizers=sgd_pair,
+                compute_dtype=jnp.float64,
+            )
+        )
+        new_single, m_single = single(state, images, future, rng)
+        g_p, d_p = split_params(new_sp.params)
+        g_s, d_s = split_params(new_single.params)
+        _assert_tree_close(g_p, g_s, rtol=1e-7, noise_rel=1e-8, what="g_params")
+        _assert_tree_close(d_p, d_s, rtol=1e-7, noise_rel=1e-9, what="d_params")
+        _assert_tree_close(
+            new_sp.g_opt_state, new_single.g_opt_state, rtol=1e-7, noise_rel=1e-8,
+            what="g_opt",
+        )
+        _assert_tree_close(
+            new_sp.d_opt_state, new_single.d_opt_state, rtol=1e-7, noise_rel=1e-9,
+            what="d_opt",
+        )
+        _assert_tree_close(
+            new_sp.batch_stats, new_single.batch_stats, rtol=1e-7, noise_rel=1e-9,
+            what="batch_stats",
+        )
+        for k in ("train/d_loss", "train/g_loss", "train/grid_loss"):
+            np.testing.assert_allclose(float(m_sp[k]), float(m_single[k]), rtol=1e-6)
+        assert float(m_sp["train/d_grad_norm"]) > 0
 
-    step_sp = make_dp_train_step(
-        model,
-        mesh2d,
-        logging_forward=False,
-        donate_state=False,
-        mode="pjit",
-        optimizers=sgd_pair,
-        spatial_axis="space",
-    )
-    batch = shard_batch((images, future), mesh2d, spatial_axis="space")
-    new_sp, m_sp = step_sp(state, *batch, rng)
-    single = jax.jit(make_train_step(model, logging_forward=False, optimizers=sgd_pair))
-    new_single, m_single = single(state, images, future, rng)
-    g_p, d_p = split_params(new_sp.params)
-    g_s, d_s = split_params(new_single.params)
-    _assert_tree_close(g_p, g_s, rtol=1e-4, noise_rel=2e-2, what="g_params")
-    _assert_tree_close(d_p, d_s, rtol=1e-4, noise_rel=1e-5, what="d_params")
-    _assert_tree_close(
-        new_sp.g_opt_state, new_single.g_opt_state, rtol=1e-4, what="g_opt"
-    )
-    _assert_tree_close(
-        new_sp.d_opt_state, new_single.d_opt_state, rtol=1e-4, what="d_opt"
-    )
-    _assert_tree_close(
-        new_sp.batch_stats, new_single.batch_stats, rtol=1e-4, noise_rel=1e-4,
-        what="batch_stats",
-    )
-    for k in ("train/d_loss", "train/g_loss", "train/grid_loss"):
-        np.testing.assert_allclose(float(m_sp[k]), float(m_single[k]), rtol=1e-3)
-    assert float(m_sp["train/d_grad_norm"]) > 0
+
+def test_gspmd_sharded_blocks_exact_f64():
+    """Every train-mode building block is GSPMD-partitioning-EXACT at f64.
+
+    Dense vs batch/W-sharded input on the 2x4 mesh, f64, train mode with
+    mutable collections: outputs and mutated stats must agree to f64 eps.
+    This is the op-level decomposition of the spatial train equivalence —
+    it localizes a partitioning regression (halo exchange, padding, stats
+    reduction) to the block that broke it, with none of the whole-step
+    test's chaotic amplification.  Derived from the round-5 diagnosis
+    (scripts/diag_spatial_ladder.py): the historical f64 divergence was
+    BatchNorm's hard f32 stats cast (ops/norm.py), not GSPMD.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from skillful_nowcasting_tpu.layers.convgru import ConvGRU
+    from skillful_nowcasting_tpu.models.common import GBlock
+    from skillful_nowcasting_tpu.ops import Conv, TorchBatchNorm
+
+    with jax.enable_x64(True):
+        mesh = make_mesh(n_data=2, n_space=4)
+        repl = NamedSharding(mesh, P())
+        rng = np.random.default_rng(0)
+        S, B, H, W, C = 2, 4, 8, 8, 8
+        x = jnp.asarray(rng.standard_normal((S, B, H, W, C)), jnp.float64)
+        xs_spec = NamedSharding(mesh, P(None, "data", None, "space", None))
+
+        def check(tag, mod, call, mutable):
+            v = mod.init(
+                {"params": jax.random.key(0), "frames": jax.random.key(1)}, x, **call
+            )
+            v = jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                v,
+            )
+
+            def f(v, x):
+                return mod.apply(v, x, **call, mutable=mutable)
+
+            dense = jax.jit(f)(v, x)
+            shard = jax.jit(f, in_shardings=(repl, xs_spec), out_shardings=repl)(
+                v, jax.device_put(x, xs_spec)
+            )
+            for name, a, b in (("out", dense[0], shard[0]), ("mut", dense[1], shard[1])):
+                for p, q in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                    p, q = np.asarray(p, np.float64), np.asarray(q, np.float64)
+                    scale = max(float(np.max(np.abs(p))), 1.0)
+                    err = float(np.max(np.abs(p - q)))
+                    assert err <= 1e-12 * scale, (
+                        f"{tag}/{name}: sharded-vs-dense err {err:.3e} "
+                        f"(scale {scale:.3e}) — GSPMD partitioning not exact"
+                    )
+
+        check(
+            "TorchBatchNorm(seq,train)",
+            TorchBatchNorm(),
+            dict(train=True, sequential=True),
+            ["batch_stats"],
+        )
+        check(
+            "Conv(SN,seq,update)",
+            Conv(features=C, kernel_size=3, padding=1, spectral_norm=True, sn_eps=1e-4),
+            dict(update_stats=True, sequential=True),
+            ["spectral"],
+        )
+        check(
+            "GBlock(train,seq)",
+            GBlock(input_channels=C, output_channels=C),
+            dict(train=True, sequential=True),
+            ["batch_stats", "spectral"],
+        )
+
+        # ConvGRU with a spatially-sharded initial state (the sampler's layout).
+        gx = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float64)
+        gs = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float64)
+        gru = ConvGRU(input_channels=2 * C, output_channels=C, kernel_size=3)
+        gv = gru.init(
+            jax.random.key(0), gx, gs, n_steps=3, update_stats=True, x_static=True
+        )
+        gv = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            gv,
+        )
+        st_spec = NamedSharding(mesh, P("data", None, "space", None))
+
+        def g(v, xx, ss):
+            return gru.apply(
+                v, xx, ss, n_steps=3, update_stats=True, x_static=True,
+                mutable=["spectral"],
+            )
+
+        dense = jax.jit(g)(gv, gx, gs)
+        shard = jax.jit(g, in_shardings=(repl, repl, st_spec), out_shardings=repl)(
+            gv, gx, jax.device_put(gs, st_spec)
+        )
+        for a, b in zip(jax.tree.leaves(dense), jax.tree.leaves(shard)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = max(float(np.max(np.abs(a))), 1.0)
+            assert float(np.max(np.abs(a - b))) <= 1e-12 * scale
 
 
 def test_dp_spatial_shard_map_rejected(setup):

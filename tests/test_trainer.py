@@ -210,3 +210,71 @@ def test_trainer_spatial_axis_wiring():
     assert t.spatial_axis == "space"
     with pytest.raises(ValueError, match="pjit"):
         Trainer(model, mesh=mesh, dp_mode="shard_map", spatial_axis="space")
+
+
+def test_wandb_checkpoint_uploader(tmp_path, monkeypatch):
+    """Default on_checkpoint uploads the Orbax ckpt dir as a wandb artifact.
+
+    Reference behavior: ``UploadCheckpointsAsArtifact``
+    (``/root/reference/train/run.py:52-111``) logs checkpoint files as a
+    wandb artifact on epoch end/interrupt.  Stub wandb module; asserts the
+    artifact carries the step directories and the step alias, and that
+    ``Trainer(use_wandb=True)`` wires the uploader in by default.
+    """
+    import sys
+    import types
+
+    from skillful_nowcasting_tpu.logging_utils import make_wandb_checkpoint_uploader
+
+    logged = []
+
+    class StubArtifact:
+        def __init__(self, name, type=None, metadata=None):
+            self.name, self.type, self.metadata = name, type, metadata
+            self.dirs = []
+
+        def add_dir(self, path, name=None):
+            self.dirs.append((path, name))
+
+    class StubRun:
+        def log_artifact(self, art, aliases=None):
+            logged.append((art, aliases))
+
+    stub = types.ModuleType("wandb")
+    stub.Artifact = StubArtifact
+    stub.run = StubRun()
+    stub.init = lambda **kw: stub.run
+    stub.log = lambda *a, **kw: None
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    ckpt_root = tmp_path / "ckpts"
+    (ckpt_root / "100").mkdir(parents=True)
+    (ckpt_root / "200").mkdir()
+
+    upload = make_wandb_checkpoint_uploader()
+    upload(200, str(ckpt_root))
+    assert len(logged) == 1
+    art, aliases = logged[0]
+    assert art.type == "checkpoints" and art.metadata == {"step": 200}
+    assert sorted(n for _, n in art.dirs) == ["100", "200"]
+    assert "step-200" in aliases and "latest" in aliases
+
+    # best-only: just the saved step's directory
+    upload_best = make_wandb_checkpoint_uploader(upload_best_only=True)
+    upload_best(100, str(ckpt_root))
+    art2, aliases2 = logged[1]
+    assert art2.dirs == [(str(ckpt_root / "100"), "100")]
+    assert "step-100" in aliases2
+
+    # wandb importable but no active run -> silent no-op
+    stub.run = None
+    upload(200, str(ckpt_root))
+    assert len(logged) == 2
+
+    # Trainer(use_wandb=True) defaults on_checkpoint to the uploader
+    stub.run = StubRun()
+    model = DGMR(**TINY)
+    t = Trainer(model, use_wandb=True)
+    assert t.on_checkpoint is not None
+    t.on_checkpoint(300, str(ckpt_root))
+    assert len(logged) == 3
