@@ -81,7 +81,10 @@ def main():
             ) if fn is tiled_nowcast_device else fn(
                 model, variables, frames, tile=128, overlap=overlap, z=z
             )
-            m = seam_discontinuity(np.asarray(out), tile=128, overlap=overlap)
+            m = seam_discontinuity(
+                np.asarray(out), tile=128, overlap=overlap,
+                device=fn is tiled_nowcast_device,
+            )
             print(
                 f"{fn_name:22s} {overlap:7d} {m['seam_max']:10.4g} "
                 f"{m['bg_p999']:10.4g} {m['ratio']:7.3f}",

@@ -600,8 +600,12 @@ def make_train_step(
             # and discriminator scorings mutate DISJOINT collection
             # subtrees, so each one's internal update order is preserved.
             full = merge_params(g_p, d_params)
+            # Accumulator dtype matches the scan body's _at_least_f32(preds)
+            # (f32 for f32/bf16 compute, f64 under jax_enable_x64) so the
+            # carry types agree at trace time.
             sum0 = jnp.zeros(
-                (b, future_images.shape[1]) + images.shape[2:], jnp.float32
+                (b, future_images.shape[1]) + images.shape[2:],
+                jnp.promote_types(compute_dtype, jnp.float32),
             )
 
             def sample_body(carry, keys):

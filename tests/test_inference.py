@@ -323,3 +323,38 @@ def test_tiled_nowcast_validates_args(model_and_vars):
         tiled_nowcast(model, variables, frames, tile=100, overlap=32)
     with pytest.raises(ValueError):
         tiled_nowcast(model, variables, frames, tile=128, overlap=31)
+
+
+def test_tiled_nowcast_seam_discontinuity_bounded(model_and_vars):
+    """Stitching artifacts stay at the field's own texture level (SURVEY §7
+    hard part 7: "seams <= tolerance", quantified).
+
+    On a smooth synthetic field, the max first-difference jump ACROSS stitch
+    boundaries must stay within 2x the 99.9th percentile of non-seam jumps
+    for both tilers at the default-style overlap.  Measured round 5 (tiny
+    config, random weights): device 1.075/1.120/1.026 and host
+    0.706/0.886/1.293 at overlap 16/32/64 — ratio ~1 everywhere; the bound
+    of 2 catches any real seam artifact (a tiler that dropped its margin
+    crops measures >>2) while tolerating content variation.  Full table:
+    `python scripts/seam_metric.py`, docs/DESIGN.md round-5 notes.
+    """
+    from skillful_nowcasting_tpu.inference import (
+        seam_discontinuity,
+        smooth_test_field,
+    )
+
+    model, variables = model_and_vars
+    frames = smooth_test_field(4, 256, 256, 1, seed=7)
+    z = jax.random.normal(jax.random.key(3), (1, 4, 4, 8), jnp.float32)
+
+    out_dev = tiled_nowcast_device(
+        model, variables, frames, tile=128, overlap=32, batch_tiles=4, z=z
+    )
+    m_dev = seam_discontinuity(np.asarray(out_dev), tile=128, overlap=32, device=True)
+    assert m_dev["ratio"] <= 2.0, m_dev
+
+    out_host = tiled_nowcast(model, variables, frames, tile=128, overlap=32, z=z)
+    m_host = seam_discontinuity(
+        np.asarray(out_host), tile=128, overlap=32, device=False
+    )
+    assert m_host["ratio"] <= 2.0, m_host
