@@ -43,10 +43,14 @@ REF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_ref
 # cores / how much load the bench host has on a given day.
 PINNED_REF_FPS = 1.011  # detect_anomaly on (as shipped)
 PINNED_REF_FPS_CLEAN = 1.175  # detect_anomaly off
-# Reference GAN training_step on this host's torch-CPU, samples/sec at B=1
-# (scripts/bench_ref_train.py, round 5).  None until measured; the round-5
-# measurement pins it below like the inference constants.
-PINNED_REF_TRAIN_SAMPLES_PER_SEC = None
+# Reference GAN training_step on torch-CPU, samples/sec at B=1
+# (scripts/bench_ref_train.py, measured round 5 on the 1-core driver host:
+# 689.9 s/step as-is / 486.7 s with detect_anomaly off, torch_threads=1).
+# NOTE the asymmetry vs the inference pin: PINNED_REF_FPS came from the
+# round-2 multi-core host; this one is single-core (that host is gone), so
+# train_vs_baseline and vs_baseline are not directly comparable ratios.
+PINNED_REF_TRAIN_SAMPLES_PER_SEC = 0.00145  # detect_anomaly on (as shipped)
+PINNED_REF_TRAIN_SAMPLES_PER_SEC_CLEAN = 0.00205  # detect_anomaly off
 
 
 def log(msg: str) -> None:
@@ -399,6 +403,11 @@ def main() -> None:
                     train_sps * train_batch / PINNED_REF_TRAIN_SAMPLES_PER_SEC
                 )
                 if train_sps and PINNED_REF_TRAIN_SAMPLES_PER_SEC
+                else None,
+                "train_vs_baseline_detect_anomaly_off": r(
+                    train_sps * train_batch / PINNED_REF_TRAIN_SAMPLES_PER_SEC_CLEAN
+                )
+                if train_sps and PINNED_REF_TRAIN_SAMPLES_PER_SEC_CLEAN
                 else None,
             }
         )
