@@ -14,9 +14,13 @@ Knobs: ``BENCH_BATCH`` (default 16), ``BENCH_ITERS`` (default 8),
 (tunnel-noise defense, VERDICT r3 weak #2) with the full per-chain list and
 a congestion flag recorded in the JSON; ``BENCH_SKIP_REF=1`` to skip the
 torch baseline measurement, ``BENCH_BF16=0`` to skip the bf16 pass,
-``BENCH_TRAIN=1`` to also measure the paper-config GAN train step
-(``BENCH_TRAIN_BATCH``, default 16) — train numbers go to stderr; the JSON
-line stays the inference metric.
+``BENCH_TRAIN=0`` to skip the paper-config GAN train-step measurement
+(ON by default since round 5 so the driver artifact carries the two-sided
+train ratio — VERDICT r4 weak #2; ``BENCH_TRAIN_BATCH`` default 16,
+``BENCH_TRAIN_DTYPE`` default bfloat16 = the mixed-precision training
+config, ``BENCH_TRAIN_REMAT`` default ``save_names`` = the fastest exact
+remat policy, CLAUDE.md round-3 numbers) — train detail goes to stderr;
+the JSON line stays the inference metric with train_* fields.
 
 Two baselines are reported: ``vs_baseline`` divides by a PINNED reference
 measurement (BASELINE.md round-2 table: torch-CPU 1.011 frames/s as-is on a
@@ -180,7 +184,7 @@ def measure_ours_train(batch: int, iters: int = 4, dtype_name: str = "float32") 
 
     model = DGMR()  # paper config
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    remat_env = os.environ.get("BENCH_TRAIN_REMAT", "1")
+    remat_env = os.environ.get("BENCH_TRAIN_REMAT", "save_names")
     rollout_remat = {"0": False, "1": True}.get(remat_env, remat_env)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, 4, 256, 256, 1), np.float32))
@@ -343,8 +347,8 @@ def main() -> None:
         log(f"MFU ({flops/1e12:.2f} TFLOPs/forward, XLA cost analysis): {mfu}")
 
     train_sps = train_batch = None
-    train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "float32")
-    if os.environ.get("BENCH_TRAIN") == "1":
+    train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "bfloat16")
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
         train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
         try:
             train_sps = measure_ours_train(train_batch, dtype_name=train_dtype)
