@@ -73,6 +73,7 @@ class Trainer:
         g_lr_schedule: Optional[str] = None,
         d_lr_schedule: Optional[str] = None,
         r1_gamma: float = 0.0,
+        abort_on_nan: bool = True,
     ):
         self.model = model
         self.max_steps = max_steps
@@ -109,6 +110,11 @@ class Trainer:
         # activations exceed one chip's HBM.  Needs dp_mode="pjit" on a
         # multi-device mesh (GSPMD inserts the conv halo exchange).
         self.spatial_axis = spatial_axis
+        # Host-side numerical tripwire: abort the run (without clobbering the
+        # last good checkpoint) when a logged train metric goes non-finite —
+        # a GAN that blows up otherwise burns the whole step budget logging
+        # NaN.  Free: checks the scalars already fetched on log steps.
+        self.abort_on_nan = abort_on_nan
         # Opt-in GAN stabilizers (defaults = exact reference behavior:
         # fixed-lr Adam pair, no D regularizer — dgmr.py:292-300).  A
         # scheduled chain carries a step count in its optimizer state, so
@@ -219,6 +225,28 @@ class Trainer:
             # Orbax restores onto one device; replicate over the mesh so the
             # DP step sees consistent placements.
             state = jax.device_put(state, replicated_sharding(self.mesh))
+            # A checkpoint written after a numerical blow-up (e.g. the
+            # save-on-interrupt path of a run that went NaN) would silently
+            # poison every step of the resumed run — refuse it loudly.  One
+            # jitted all-finite reduction + one scalar fetch (per-leaf
+            # device_get would be hundreds of tunnel round-trips).
+            ok = bool(
+                jax.device_get(
+                    jax.jit(
+                        lambda p: jnp.all(
+                            jnp.stack(
+                                [jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(p)]
+                            )
+                        )
+                    )(state.params)
+                )
+            )
+            if not ok:
+                raise RuntimeError(
+                    f"refusing to resume from step {start_step}: checkpoint "
+                    "params contain non-finite values; delete or repair "
+                    f"{self.manager.directory}"
+                )
             print(f"resumed from step {start_step}", file=sys.stderr)
 
         step = start_step
@@ -252,6 +280,20 @@ class Trainer:
                     dt = (time.time() - t_log) / self.log_every
                     host["train/steps_per_sec"] = 1.0 / max(dt, 1e-9)
                     self.logger.log_scalars(host, step + 1)
+                    if self.abort_on_nan:
+                        bad = [
+                            k for k, v in host.items() if not np.isfinite(v)
+                        ]
+                        if bad:
+                            # Skip the finally-block emergency save: writing
+                            # the blown-up state would evict the last good
+                            # checkpoint (``metrics`` empty -> save skipped).
+                            metrics = {}
+                            raise RuntimeError(
+                                f"non-finite training metrics at step "
+                                f"{step + 1}: {', '.join(sorted(bad))} — "
+                                "aborting (disable with abort_on_nan=False)"
+                            )
                     if hists is not None:
                         # One device_get for the whole packed-histogram tree
                         # (counts + 4 scalars per layer), only on log steps.

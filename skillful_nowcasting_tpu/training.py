@@ -492,9 +492,16 @@ def make_train_step(
                     # forward discards its collection mutations (stats
                     # update once per D step, via the main forward above);
                     # same frame-sampling key -> same frames.
+                    # The R1 inner score runs at >= f32 regardless of
+                    # compute_dtype: under bf16 the double-backward (grad of
+                    # the inner input-gradient wrt d_params) through the D's
+                    # BN/SN towers produces NaN at the very first step
+                    # (measured on-chip round 5; f32 is finite).  Standard
+                    # mixed-precision practice keeps gradient penalties in
+                    # f32 (StyleGAN2); the main hinge forward stays bf16.
                     def real_score_sum(x):
                         ci = jnp.concatenate(
-                            [x.astype(compute_dtype), gen_seq], axis=0
+                            [x, _at_least_f32(gen_seq)], axis=0
                         )
                         s, _, _ = _apply_discriminator(
                             model,

@@ -100,6 +100,68 @@ def test_trainer_fit_and_resume(tmp_path):
     assert int(state2.step) == 3
 
 
+def test_trainer_abort_on_nan(tmp_path):
+    """A blown-up run aborts loudly without clobbering checkpoints.
+
+    Round-5 incident: a NaN GAN run burned its whole step budget logging
+    NaN and its save-on-interrupt checkpoint then poisoned the resume.
+    abort_on_nan (default) raises on the first non-finite logged metric and
+    skips the finally-block emergency save."""
+    model = DGMR(**TINY)
+
+    def nan_data():
+        for images, future in synthetic_batches(
+            batch_size=8, target_frames=2, size=128, seed=3
+        ):
+            images = np.asarray(images).copy()
+            images[0, 0, 0, 0, 0] = np.nan
+            yield images, future
+
+    ckpt_dir = str(tmp_path / "nanrun")
+    trainer = Trainer(
+        model,
+        max_steps=2,
+        ckpt_dir=ckpt_dir,
+        ckpt_every=1,
+        log_every=1,
+        seed=0,
+        logging_forward=False,
+    )
+    with pytest.raises(RuntimeError, match="non-finite training metrics"):
+        trainer.fit(nan_data())
+    # No checkpoint was written from the blown-up state.
+    assert trainer.manager.latest_step() is None
+
+
+def test_trainer_refuses_nan_resume(tmp_path):
+    """Resume refuses a checkpoint whose params are non-finite."""
+    model = DGMR(**TINY)
+    rng = np.random.default_rng(0)
+    images = np.asarray(rng.random((1, 4, 128, 128, 1), np.float32))
+    future = np.asarray(rng.random((1, 2, 128, 128, 1), np.float32))
+    state = init_train_state(model, jax.random.key(0), images, future)
+    poisoned = state.replace(
+        params=jax.tree.map(lambda a: a * np.nan, state.params)
+    )
+    ckpt_dir = str(tmp_path / "poisoned")
+    manager = make_manager(f"{ckpt_dir}/latest")
+    save_state(manager, 5, poisoned, jax.random.key(1), {"train/g_loss": 1.0})
+    manager.wait_until_finished()
+
+    trainer = Trainer(
+        model,
+        max_steps=6,
+        ckpt_dir=ckpt_dir,
+        ckpt_every=100,
+        log_every=0,
+        seed=0,
+        logging_forward=False,
+    )
+    data = synthetic_batches(batch_size=8, target_frames=2, size=128, seed=3)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        trainer.fit(data)
+
+
 def test_trainer_val_skill_metrics(tmp_path):
     """val_skill=True logs paper skill metrics (CRPS/CSI/MSE) at validation."""
     model = DGMR(**TINY)

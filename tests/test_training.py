@@ -426,3 +426,40 @@ def test_r1_penalty_train_step(tiny_model, state, tiny_batch):
         )
         > 0
     )
+
+
+def test_r1_penalty_bf16_finite(tiny_model, state, tiny_batch):
+    """bf16 mixed precision + R1: the penalty's inner D pass runs at f32.
+
+    Regression for the round-5 on-chip finding: with the R1 inner score
+    computed in bf16 the double-backward (grad of the input-gradient wrt
+    d_params) through the D's BN/SN towers is NaN at the very first step
+    (f32 finite).  The fix keeps the penalty branch at >= f32 under any
+    compute_dtype; this asserts the bf16+R1 step is finite end-to-end and
+    the penalty value tracks the f32 one to bf16 resolution.
+    """
+    images, future = tiny_batch
+    step_bf16 = jax.jit(
+        make_train_step(
+            tiny_model,
+            logging_forward=False,
+            compute_dtype=jnp.bfloat16,
+            r1_gamma=10.0,
+        )
+    )
+    new_bf, m_bf = step_bf16(state, images, future, jax.random.key(2))
+    for k, v in m_bf.items():
+        assert np.isfinite(float(v)), k
+    assert float(m_bf["train/d_r1"]) > 0
+    for leaf in jax.tree.leaves(new_bf.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    step_f32 = jax.jit(
+        make_train_step(tiny_model, logging_forward=False, r1_gamma=10.0)
+    )
+    _, m_f32 = step_f32(state, images, future, jax.random.key(2))
+    # Same rng -> same frames/latents; bf16's main forward perturbs the
+    # penalty's base activations at ~1e-2 relative resolution.
+    np.testing.assert_allclose(
+        float(m_bf["train/d_r1"]), float(m_f32["train/d_r1"]), rtol=0.25
+    )

@@ -152,6 +152,14 @@ def parse_args():
             "scores (0 = reference-exact, no penalty)"
         ),
     )
+    p.add_argument(
+        "--no-abort-on-nan",
+        action="store_true",
+        help=(
+            "keep training through non-finite logged metrics instead of "
+            "aborting (the default abort protects the checkpoint budget)"
+        ),
+    )
     return p.parse_args()
 
 
@@ -243,6 +251,7 @@ def main():
         g_lr_schedule=args.g_lr_schedule,
         d_lr_schedule=args.d_lr_schedule,
         r1_gamma=args.r1_gamma,
+        abort_on_nan=not args.no_abort_on_nan,
     )
 
     init_state = None
